@@ -1,0 +1,144 @@
+"""GAN discriminators: multi-period + scale (reference models.py:1024-1146).
+
+DiscriminatorS is a grouped-conv scale discriminator; DiscriminatorP folds
+the waveform into (T/period, period) and runs 2-D convs down the time
+axis. V1 uses periods [2,3,5,7,11,17], V2 adds [23,37].
+
+TPU notes: all convs are weight-normalized (training parity); the period
+fold is a reshape (reflect-pad to a multiple of the period). Activations
+channels-last: 1-D (B, T, C); 2-D (B, T/p, p, C).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import Conv1d, leaky_relu, LRELU_SLOPE
+
+
+class Conv2dTorch(nn.Module):
+    """2-D conv with torch layout weights (O, I, Kh, Kw); input (B, H, W, C)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    weight_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import math
+
+        kh, kw = self.kernel_size
+        shape = (self.out_channels, self.in_channels, kh, kw)
+        fan_in = self.in_channels * kh * kw
+        bound = 1.0 / math.sqrt(fan_in)
+        init = lambda k, s, d=jnp.float32: jax.random.uniform(k, s, d, -bound, bound)  # noqa: E731
+        if self.weight_norm:
+            v = self.param("weight_v", init, shape)
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2, 3), keepdims=True))
+            g = self.param("weight_g", lambda k, s: norm, (self.out_channels, 1, 1, 1))
+            w = g * v / (norm + 1e-12)
+        else:
+            w = self.param("weight", init, shape)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        )
+        b = self.param("bias", init, (self.out_channels,))
+        return y + b.astype(self.dtype)
+
+
+class DiscriminatorS(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, T, 1) -> (logits_flat, feature_maps)."""
+        fmap = []
+        specs = [
+            (1, 16, 15, 1, 1, 7),
+            (16, 64, 41, 4, 4, 20),
+            (64, 256, 41, 4, 16, 20),
+            (256, 1024, 41, 4, 64, 20),
+            (1024, 1024, 41, 4, 256, 20),
+            (1024, 1024, 5, 1, 1, 2),
+        ]
+        for i, (ci, co, k, s, g, p) in enumerate(specs):
+            x = Conv1d(ci, co, k, stride=s, groups=g, padding=p,
+                       weight_norm=True, dtype=self.dtype, name=f"convs_{i}")(x)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = Conv1d(1024, 1, 3, padding=1, weight_norm=True, dtype=self.dtype,
+                   name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(x.shape[0], -1), fmap
+
+
+class DiscriminatorP(nn.Module):
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, T, 1) -> (logits_flat, feature_maps)."""
+        B, T, C = x.shape
+        if T % self.period != 0:
+            n_pad = self.period - (T % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            T = T + n_pad
+        x = x.reshape(B, T // self.period, self.period, C)
+        fmap = []
+        chans = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+        pad = (self.kernel_size - 1) // 2
+        for i, (ci, co) in enumerate(chans):
+            x = Conv2dTorch(ci, co, (self.kernel_size, 1), (self.stride, 1), (pad, 0),
+                            dtype=self.dtype, name=f"convs_{i}")(x)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = Conv2dTorch(1024, 1024, (self.kernel_size, 1), (1, 1), (pad, 0),
+                        dtype=self.dtype, name="convs_4")(x)
+        x = leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = Conv2dTorch(1024, 1, (3, 1), (1, 1), (1, 0), dtype=self.dtype,
+                        name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(x.shape[0], -1), fmap
+
+
+PERIODS_V1 = (2, 3, 5, 7, 11, 17)
+PERIODS_V2 = (2, 3, 5, 7, 11, 17, 23, 37)
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """Scale + period ensemble. version 'v1'/'v2' picks the period set."""
+
+    version: str = "v2"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        periods = PERIODS_V2 if self.version == "v2" else PERIODS_V1
+        discs = [DiscriminatorS(dtype=self.dtype, name="discriminators_0")] + [
+            DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i + 1}")
+            for i, p in enumerate(periods)
+        ]
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for d in discs:
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            y_d_gs.append(g)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -1,0 +1,268 @@
+"""Primitive NN layers with torch-compatible parameter layouts.
+
+All activations are channels-last (B, T, C) — the TPU-native layout (C on
+the lane axis). Parameters keep torch's layout (Conv1d: (O, I/g, K);
+ConvTranspose1d: (I, O/g, K); Linear: (O, I)) so that importing reference
+``.pth`` checkpoints (reference vc_infer_pipeline.py:199-226 format) is a
+pure key-mapping with zero transposition bookkeeping.
+
+Weight normalization is an explicit parameterization (weight_v, weight_g)
+matching torch.nn.utils.weight_norm over dim 0 (reference
+lib/infer_pack/modules.py uses it on every WN/ResBlock/upsample conv), so
+training dynamics match; ``fold_weight_norm`` converts a param tree to
+plain weights for inference (reference ``remove_weight_norm``).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+def leaky_relu(x, slope: float = LRELU_SLOPE):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def sequence_mask(lengths: jax.Array, max_length: int) -> jax.Array:
+    """(B,) -> (B, T, 1) float mask (reference commons.sequence_mask)."""
+    t = jnp.arange(max_length)[None, :]
+    return (t < lengths[:, None])[..., None]
+
+
+def _norm_except_dim0(v: jax.Array) -> jax.Array:
+    axes = tuple(range(1, v.ndim))
+    return jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+
+
+class Conv1d(nn.Module):
+    """1-D convolution; input (B, T, Cin) -> (B, T', Cout).
+
+    weight: (out, in/groups, k) — torch layout. ``padding`` is symmetric
+    sample padding like torch's int argument.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: Any = jnp.float32
+
+    def _kernel_init(self, key, shape, dtype):
+        # torch Conv1d default: kaiming_uniform(a=sqrt(5)) == U(-b, b),
+        # b = 1/sqrt(fan_in)
+        fan_in = shape[1] * shape[2]
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shape = (self.out_channels, self.in_channels // self.groups, self.kernel_size)
+        if self.weight_norm:
+            v = self.param("weight_v", self._kernel_init, shape, jnp.float32)
+            g = self.param(
+                "weight_g", lambda k, s: _norm_except_dim0(v), (self.out_channels, 1, 1)
+            )
+            w = g * v / (_norm_except_dim0(v) + 1e-12)
+        else:
+            w = self.param("weight", self._kernel_init, shape, jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "OIW", "NWC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            fan_in = shape[1] * shape[2]
+            bound = 1.0 / math.sqrt(fan_in)
+            b = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.out_channels,),
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1-D convolution matching torch.nn.ConvTranspose1d.
+
+    weight: (in, out/groups, k) — torch layout. Implemented as an
+    input-dilated convolution (exact torch semantics, incl. padding).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: Any = jnp.float32
+
+    def _kernel_init(self, key, shape, dtype):
+        fan_in = shape[1] * shape[2]  # torch uses out_ch/groups * k for transpose
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shape = (self.in_channels, self.out_channels, self.kernel_size)
+        if self.weight_norm:
+            v = self.param("weight_v", self._kernel_init, shape, jnp.float32)
+            g = self.param(
+                "weight_g", lambda k, s: _norm_except_dim0(v), (self.in_channels, 1, 1)
+            )
+            w = g * v / (_norm_except_dim0(v) + 1e-12)
+        else:
+            w = self.param("weight", self._kernel_init, shape, jnp.float32)
+        # torch convtranspose == conv with lhs_dilation=stride, kernel flipped,
+        # swapped I/O axes, padding (k-1-p).
+        w_conv = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (out, in, k)
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w_conv.astype(self.dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "OIW", "NWC"),
+        )
+        if self.use_bias:
+            fan_in = self.out_channels * self.kernel_size
+            bound = 1.0 / math.sqrt(fan_in)
+            b = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.out_channels,),
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class Linear(nn.Module):
+    """Dense layer with torch layout: weight (out, in)."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        bound = 1.0 / math.sqrt(self.in_features)
+        w = self.param(
+            "weight",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.out_features, self.in_features),
+        )
+        y = jnp.matmul(x.astype(self.dtype), w.T.astype(self.dtype))
+        if self.use_bias:
+            b = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.out_features,),
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class Embedding(nn.Module):
+    num_embeddings: int
+    features: int
+    init_std: float | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        std = self.init_std if self.init_std is not None else 1.0
+        w = self.param(
+            "weight",
+            lambda k, s: std * jax.random.normal(k, s, jnp.float32),
+            (self.num_embeddings, self.features),
+        )
+        return jnp.take(w, ids, axis=0).astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis; params named like torch
+    (reference modules.LayerNorm uses gamma/beta)."""
+
+    channels: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        g = self.param("gamma", lambda k, s: jnp.ones(s, jnp.float32), (self.channels,))
+        b = self.param("beta", lambda k, s: jnp.zeros(s, jnp.float32), (self.channels,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * g + b).astype(self.dtype)
+
+
+def fold_weight_norm(params: dict) -> dict:
+    """Replace every {weight_v, weight_g} pair by the folded plain weight.
+
+    Equivalent of the reference's remove_weight_norm() pass
+    (lib/infer_pack/models.py:313-317 etc.) — run once at model load, after
+    which inference uses plain convs.
+    """
+
+    def fold(tree):
+        if isinstance(tree, dict):
+            if "weight_v" in tree and "weight_g" in tree:
+                v, g = tree["weight_v"], tree["weight_g"]
+                w = g * v / (_norm_except_dim0(v) + 1e-12)
+                rest = {k: fold(x) for k, x in tree.items() if k not in ("weight_v", "weight_g")}
+                return {"weight": w, **rest}
+            return {k: fold(v) for k, v in tree.items()}
+        return tree
+
+    return fold(params)
+
+
+def rand_slice_segments(
+    key: jax.Array, x: jax.Array, lengths: jax.Array, segment_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """Random fixed-size temporal crops (reference commons.rand_slice_segments).
+
+    x: (B, T, C) -> (B, segment_size, C); returns (slices, start_indices).
+    """
+    B, T, C = x.shape
+    max_start = jnp.maximum(lengths - segment_size + 1, 1)
+    starts = (jax.random.uniform(key, (B,)) * max_start).astype(jnp.int32)
+
+    def take(xb, s):
+        return jax.lax.dynamic_slice(xb, (s, 0), (segment_size, C))
+
+    return jax.vmap(take)(x, starts), starts
+
+
+def slice_segments(x: jax.Array, starts: jax.Array, segment_size: int) -> jax.Array:
+    """Gather (B, segment_size, ...) crops at given start indices."""
+    if x.ndim == 2:
+        def take2(xb, s):
+            return jax.lax.dynamic_slice(xb, (s,), (segment_size,))
+        return jax.vmap(take2)(x, starts)
+
+    C = x.shape[-1]
+
+    def take(xb, s):
+        return jax.lax.dynamic_slice(xb, (s, 0), (segment_size, C))
+
+    return jax.vmap(take)(x, starts)

@@ -1,0 +1,187 @@
+"""Model-stack tests: attention skew, flows, NSF source, synthesizer e2e."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvc_tpu.models.attention import Encoder, _rel_to_abs, _abs_to_rel
+from rvc_tpu.models.flows import (
+    ResidualCouplingBlock,
+    rational_quadratic_spline,
+)
+from rvc_tpu.models.nsf import sine_source, wrapped_cumsum, GeneratorNSF
+from rvc_tpu.models.synthesizer import Synthesizer
+from rvc_tpu.models.discriminator import MultiPeriodDiscriminator
+
+TINY = dict(
+    spec_channels=129,
+    segment_size=16,
+    inter_channels=16,
+    hidden_channels=16,
+    filter_channels=32,
+    n_heads=2,
+    n_layers=2,
+    kernel_size=3,
+    p_dropout=0.0,
+    resblock="1",
+    resblock_kernel_sizes=(3, 5),
+    resblock_dilation_sizes=((1, 3), (1, 3)),
+    upsample_rates=(10, 4, 2, 2),
+    upsample_initial_channel=32,
+    upsample_kernel_sizes=(16, 8, 4, 4),
+    spk_embed_dim=4,
+    gin_channels=8,
+    sr=16000,
+    feature_dim=24,
+    use_f0=True,
+)
+
+
+def test_rel_abs_skew_roundtrip(rng):
+    """_rel_to_abs places rel index (i-j+L-1) at abs (i,j)."""
+    B, H, L = 1, 1, 5
+    x = jnp.asarray(rng.standard_normal((B, H, L, 2 * L - 1)).astype(np.float32))
+    a = np.asarray(_rel_to_abs(x))
+    for i in range(L):
+        for j in range(L):
+            assert a[0, 0, i, j] == pytest.approx(float(x[0, 0, i, j - i + L - 1]), abs=1e-6)
+    # abs->rel inverts on the valid band
+    r = np.asarray(_abs_to_rel(jnp.asarray(a)))
+    for i in range(L):
+        for j in range(L):
+            assert r[0, 0, i, j - i + L - 1] == pytest.approx(a[0, 0, i, j], abs=1e-6)
+
+
+def test_encoder_shapes_and_mask(rng):
+    enc = Encoder(16, 32, 2, 2, 3, 0.0)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16)).astype(np.float32))
+    mask = jnp.ones((2, 12, 1))
+    mask = mask.at[1, 8:].set(0.0)
+    params = enc.init(jax.random.PRNGKey(0), x, mask)
+    y = enc.apply(params, x, mask)
+    assert y.shape == (2, 12, 16)
+    assert np.asarray(y)[1, 8:].max() == 0.0  # masked positions zeroed
+    # masked tail must not influence valid outputs
+    x2 = x.at[1, 8:].set(99.0)
+    y2 = enc.apply(params, x2, mask)
+    np.testing.assert_allclose(np.asarray(y[1, :8]), np.asarray(y2[1, :8]), atol=1e-5)
+
+
+def test_coupling_flow_invertible(rng):
+    flow = ResidualCouplingBlock(16, 24, 5, 1, 3, gin_channels=8)
+    x = jnp.asarray(rng.standard_normal((2, 10, 16)).astype(np.float32))
+    mask = jnp.ones((2, 10, 1))
+    g = jnp.asarray(rng.standard_normal((2, 1, 8)).astype(np.float32))
+    params = flow.init(jax.random.PRNGKey(0), x, mask, g=g)
+    z = flow.apply(params, x, mask, g=g, reverse=False)
+    x_rec = flow.apply(params, z, mask, g=g, reverse=True)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+
+
+def test_rq_spline_invertible(rng):
+    shape = (2, 7, 3)
+    x = jnp.asarray((rng.standard_normal(shape) * 2).astype(np.float32))
+    uw = jnp.asarray(rng.standard_normal((*shape, 10)).astype(np.float32))
+    uh = jnp.asarray(rng.standard_normal((*shape, 10)).astype(np.float32))
+    ud = jnp.asarray(rng.standard_normal((*shape, 9)).astype(np.float32))
+    y, ld = rational_quadratic_spline(x, uw, uh, ud, inverse=False)
+    x_rec, ld_inv = rational_quadratic_spline(y, uw, uh, ud, inverse=True)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-3)
+    # outside tails: identity
+    far = jnp.full(shape, 7.0)
+    y_far, ld_far = rational_quadratic_spline(far, uw, uh, ud, inverse=False)
+    np.testing.assert_allclose(np.asarray(y_far), 7.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_far), 0.0, atol=1e-6)
+
+
+def test_wrapped_cumsum(rng):
+    x = jnp.asarray(rng.uniform(0, 0.9, (1, 1000, 2)).astype(np.float32))
+    out = np.asarray(wrapped_cumsum(x, block=64))
+    ref = np.cumsum(np.asarray(x, dtype=np.float64), axis=1) - np.asarray(x)
+    np.testing.assert_allclose(out, ref % 1.0, atol=1e-4)
+
+
+def test_sine_source_phase_accuracy():
+    """The closed-form source must be a clean sine at constant f0."""
+    sr, upp, F = 16000, 160, 50
+    f0 = jnp.full((1, F), 200.0)
+    sine, uv = sine_source(f0, upp, sr, jax.random.PRNGKey(0), noise_std=0.0)
+    s = np.asarray(sine)[0, :, 0]
+    t = (np.arange(F * upp) + 1) / sr
+    ref = 0.1 * np.sin(2 * np.pi * 200.0 * t)
+    np.testing.assert_allclose(s, ref, atol=2e-3)
+    assert np.asarray(uv).min() == 1.0
+
+
+def test_sine_source_unvoiced_noise():
+    sine, uv = sine_source(jnp.zeros((1, 20)), 160, 16000, jax.random.PRNGKey(0))
+    s = np.asarray(sine)[0, :, 0]
+    assert np.asarray(uv).max() == 0.0
+    assert 0.01 < s.std() < 0.05  # noise at sine_amp/3
+
+
+def test_generator_nsf_shapes(rng):
+    gen = GeneratorNSF(
+        initial_channel=16, resblock="1",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(10, 4, 2, 2), upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 8, 4, 4), gin_channels=8, sr=16000,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 12, 16)).astype(np.float32))
+    f0 = jnp.full((2, 12), 150.0)
+    g = jnp.asarray(rng.standard_normal((2, 1, 8)).astype(np.float32))
+    params = gen.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x, f0, g)
+    y = gen.apply(params, x, f0, g, rngs={"noise": jax.random.PRNGKey(2)})
+    assert y.shape == (2, 12 * 160, 1)
+    assert np.abs(np.asarray(y)).max() <= 1.0
+
+
+@pytest.mark.parametrize("use_f0", [True, False])
+def test_synthesizer_infer(rng, use_f0):
+    net = Synthesizer(**{**TINY, "use_f0": use_f0})
+    B, T = 2, 14
+    phone = jnp.asarray(rng.standard_normal((B, T, 24)).astype(np.float32))
+    lengths = jnp.array([T, T - 4])
+    pitch = jnp.asarray(rng.integers(1, 255, (B, T))) if use_f0 else None
+    nsff0 = jnp.asarray(rng.uniform(100, 300, (B, T)).astype(np.float32)) if use_f0 else None
+    sid = jnp.array([0, 1])
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    params = net.init(rngs, phone, lengths, pitch, nsff0, sid, method=net.infer)
+    o, mask, _ = net.apply(
+        params, phone, lengths, pitch, nsff0, sid,
+        method=net.infer, rngs={"noise": jax.random.PRNGKey(2)},
+    )
+    assert o.shape == (B, T * 160, 1)
+    assert np.isfinite(np.asarray(o)).all()
+
+
+def test_synthesizer_train_forward(rng):
+    net = Synthesizer(**TINY)
+    B, T = 2, 30
+    phone = jnp.asarray(rng.standard_normal((B, T, 24)).astype(np.float32))
+    lengths = jnp.array([T, T])
+    pitch = jnp.asarray(rng.integers(1, 255, (B, T)))
+    pitchf = jnp.asarray(rng.uniform(100, 300, (B, T)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, T, 129)).astype(np.float32))
+    sid = jnp.array([0, 1])
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    params = net.init(rngs, phone, lengths, pitch, pitchf, y, lengths, sid)
+    o, ids, xm, ym, (z, z_p, m_p, logs_p, m_q, logs_q) = net.apply(
+        params, phone, lengths, pitch, pitchf, y, lengths, sid,
+        rngs={"noise": jax.random.PRNGKey(2)},
+    )
+    assert o.shape == (B, 16 * 160, 1)
+    assert z.shape == (B, T, 16)
+    assert np.isfinite(np.asarray(o)).all()
+
+
+def test_discriminator(rng):
+    d = MultiPeriodDiscriminator(version="v1")
+    y = jnp.asarray(rng.standard_normal((1, 1600, 1)).astype(np.float32))
+    yh = jnp.asarray(rng.standard_normal((1, 1600, 1)).astype(np.float32))
+    params = d.init(jax.random.PRNGKey(0), y, yh)
+    rs, gs, frs, fgs = d.apply(params, y, yh)
+    assert len(rs) == 7  # 1 scale + 6 periods
+    assert all(np.isfinite(np.asarray(r)).all() for r in rs)
+    assert len(frs[0]) == 7  # DiscriminatorS fmap count
