@@ -1,0 +1,246 @@
+"""Torch checkpoint → Flax param-tree converters.
+
+Because every layer in rvc_tpu stores weights in torch layout
+(models/layers.py), conversion is pure key-path renaming — no transposes.
+Handles:
+
+  * RVC inference checkpoints (``cpt["weight"]`` + positional ``config``;
+    reference vc_infer_pipeline.py:199-226 / training_cli.py:38-74),
+  * ContentVec/HuBERT safetensors (reference lib/infer_pack/loaders.py),
+  * RMVPE ``.pt`` (E2E state_dict, reference lib/rmvpe.py:579-581),
+  * torchcrepe state_dicts.
+
+Generic rule: torch ``a.b.0.c`` → flax path ``a / b_0 / c`` (ModuleList
+indices merge into the parent name); per-model regex fixups cover the few
+places our module nesting is flatter than torch's.
+"""
+from __future__ import annotations
+
+import re
+from typing import Callable, Mapping
+
+import numpy as np
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    try:  # torch tensor without importing torch at module scope
+        return t.detach().cpu().float().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def torch_key_to_path(key: str) -> tuple[str, ...]:
+    """'a.b.0.c.weight' -> ('a', 'b_0', 'c', 'weight')."""
+    parts = key.split(".")
+    out: list[str] = []
+    for p in parts:
+        if p.isdigit() and out:
+            out[-1] = f"{out[-1]}_{p}"
+        else:
+            out.append(p)
+    return tuple(out)
+
+
+def insert_path(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def build_tree(
+    state_dict: Mapping[str, object],
+    renames: list[tuple[str, str]] | None = None,
+    skip: tuple[str, ...] = (),
+) -> dict:
+    """Apply regex renames then the generic path rule."""
+    tree: dict = {}
+    for key, val in state_dict.items():
+        if any(re.search(s, key) for s in skip):
+            continue
+        k = key
+        for pat, rep in renames or []:
+            k = re.sub(pat, rep, k)
+        insert_path(tree, torch_key_to_path(k), _to_np(val))
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# RVC synthesizer (.pth inference format)
+# ---------------------------------------------------------------------------
+
+
+def synthesizer_params_from_state_dict(weights: Mapping[str, object]) -> dict:
+    """Reference state_dict names map 1:1 through the generic rule."""
+    return build_tree(weights, skip=(r"^enc_q\.",))
+
+
+def load_rvc_checkpoint(path: str):
+    """Load a reference RVC .pth; returns (flax_params, metadata dict).
+
+    metadata: config (positional list), sr, f0, version — the contract of
+    reference get_vc (vc_infer_pipeline.py:199-226).
+    """
+    import torch
+
+    cpt = torch.load(path, map_location="cpu", weights_only=False)
+    weights = cpt["weight"]
+    params = synthesizer_params_from_state_dict(weights)
+    n_spk = _to_np(weights["emb_g.weight"]).shape[0]
+    config = list(cpt["config"])
+    config[-3] = n_spk
+    meta = {
+        "config": config,
+        "sr": cpt["config"][-1],
+        "f0": cpt.get("f0", 1),
+        "version": cpt.get("version", "v1"),
+        "n_spk": n_spk,
+    }
+    return {"params": params}, meta
+
+
+def synthesizer_kwargs_from_config(config: list, version: str, use_f0: bool) -> dict:
+    """Positional reference config list → Synthesizer kwargs
+    (order per reference models.py SynthesizerTrn* __init__)."""
+    (spec_channels, segment_size, inter_channels, hidden_channels, filter_channels,
+     n_heads, n_layers, kernel_size, p_dropout, resblock, resblock_kernel_sizes,
+     resblock_dilation_sizes, upsample_rates, upsample_initial_channel,
+     upsample_kernel_sizes, spk_embed_dim, gin_channels, sr) = config
+    from ..config import SR_MAP
+
+    if isinstance(sr, str):
+        sr = SR_MAP[sr]
+    return dict(
+        spec_channels=spec_channels,
+        segment_size=segment_size,
+        inter_channels=inter_channels,
+        hidden_channels=hidden_channels,
+        filter_channels=filter_channels,
+        n_heads=n_heads,
+        n_layers=n_layers,
+        kernel_size=kernel_size,
+        p_dropout=p_dropout,
+        resblock=resblock,
+        resblock_kernel_sizes=tuple(resblock_kernel_sizes),
+        resblock_dilation_sizes=tuple(map(tuple, resblock_dilation_sizes)),
+        upsample_rates=tuple(upsample_rates),
+        upsample_initial_channel=upsample_initial_channel,
+        upsample_kernel_sizes=tuple(upsample_kernel_sizes),
+        spk_embed_dim=spk_embed_dim,
+        gin_channels=gin_channels,
+        sr=sr,
+        feature_dim=256 if version == "v1" else 768,
+        use_f0=bool(use_f0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HuBERT / ContentVec
+# ---------------------------------------------------------------------------
+
+_HUBERT_RENAMES = [
+    (r"feature_extractor\.conv_layers\.(\d+)\.conv", r"feature_extractor.conv_layers_\1_conv"),
+    (r"feature_extractor\.conv_layers\.0\.layer_norm",
+     r"feature_extractor.conv_layers_0_layer_norm"),
+    (r"feature_projection\.layer_norm", r"feature_projection_layer_norm"),
+    (r"feature_projection\.projection", r"feature_projection_projection"),
+    (r"encoder\.pos_conv_embed\.conv\.parametrizations\.weight\.original0",
+     r"encoder_pos_conv_embed_conv.weight_g"),
+    (r"encoder\.pos_conv_embed\.conv\.parametrizations\.weight\.original1",
+     r"encoder_pos_conv_embed_conv.weight_v"),
+    (r"encoder\.pos_conv_embed\.conv", r"encoder_pos_conv_embed_conv"),
+    (r"encoder\.layer_norm", r"encoder_layer_norm"),
+    (r"encoder\.layers\.(\d+)\.feed_forward\.intermediate_dense",
+     r"encoder_layers_\1.feed_forward_intermediate_dense"),
+    (r"encoder\.layers\.(\d+)\.feed_forward\.output_dense",
+     r"encoder_layers_\1.feed_forward_output_dense"),
+    (r"encoder\.layers\.(\d+)", r"encoder_layers_\1"),
+]
+
+
+def _fix_pos_conv_weight_norm(tree: dict) -> dict:
+    """HF pos-conv weight norm is over dim=2; our module reconstructs over
+    dim 0. Fold the imported (g, v) to a plain weight, then re-split along
+    dim 0 so the module's math reproduces it exactly."""
+    node = tree.get("encoder_pos_conv_embed_conv")
+    if node and "weight_g" in node:
+        g, v = node["weight_g"], node["weight_v"]
+        axes_g = tuple(i for i, s in enumerate(g.shape) if s == 1)
+        norm = np.sqrt(np.sum(v * v, axis=axes_g, keepdims=True))
+        w = g * v / (norm + 1e-12)
+        norm0 = np.sqrt(np.sum(w * w, axis=(1, 2), keepdims=True))
+        node["weight_v"] = w
+        node["weight_g"] = norm0
+    return tree
+
+
+def hubert_params_from_state_dict(state_dict: Mapping[str, object]) -> dict:
+    tree = build_tree(state_dict, renames=_HUBERT_RENAMES, skip=(r"masked_spec_embed",))
+    return _fix_pos_conv_weight_norm(tree)
+
+
+def load_hubert_safetensors(path: str):
+    """Load content-vec-best.safetensors → (flax params, HubertConfig)."""
+    import json
+
+    from safetensors import safe_open
+
+    from ..models.hubert import HubertConfig
+
+    with safe_open(path, framework="np") as f:
+        meta = f.metadata() or {}
+        state = {k: f.get_tensor(k) for k in f.keys()}
+    cfg = HubertConfig.from_hf_dict(json.loads(meta["config"])) if "config" in meta else HubertConfig()
+    return {"params": hubert_params_from_state_dict(state)}, cfg
+
+
+# ---------------------------------------------------------------------------
+# RMVPE
+# ---------------------------------------------------------------------------
+
+_RMVPE_RENAMES = [
+    (r"unet\.encoder\.bn", r"unet.encoder_bn"),
+    (r"unet\.encoder\.layers\.(\d+)", r"unet.encoder_layers_\1"),
+    (r"unet\.intermediate\.layers\.(\d+)", r"unet.intermediate_layers_\1"),
+    (r"unet\.decoder\.layers\.(\d+)", r"unet.decoder_layers_\1"),
+    # ConvBlockRes / ResEncoderBlock / ResDecoderBlock inner sequential ids
+    (r"\.conv\.(\d+)\.conv\.(\d+)\.", r".conv_\1.conv_\2."),
+    (r"\.conv\.(\d+)\.shortcut", r".conv_\1.shortcut"),
+    (r"\.conv1\.(\d+)\.", r".conv1_\1."),
+    (r"\.conv2\.(\d+)\.conv\.(\d+)\.", r".conv2_\1.conv_\2."),
+    (r"\.conv2\.(\d+)\.shortcut", r".conv2_\1.shortcut"),
+    (r"^cnn\.", r"cnn."),
+    (r"^fc\.0\.gru\.", r"fc_0_gru."),
+    (r"^fc\.1\.", r"fc_1."),
+]
+
+
+def rmvpe_params_from_state_dict(state_dict: Mapping[str, object]) -> dict:
+    tree = build_tree(state_dict, renames=_RMVPE_RENAMES, skip=(r"num_batches_tracked",))
+    return {"params": {"model": tree}}
+
+
+def load_rmvpe(path: str):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "keys"):
+        sd = sd["model"]
+    return rmvpe_params_from_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# CREPE (torchcrepe layout: conv1..conv6, conv1_BN.., classifier)
+# ---------------------------------------------------------------------------
+
+
+def crepe_params_from_state_dict(state_dict: Mapping[str, object]) -> dict:
+    return {"params": build_tree(state_dict, skip=(r"num_batches_tracked",))}
+
+
+def load_crepe(path: str):
+    import torch
+
+    return crepe_params_from_state_dict(torch.load(path, map_location="cpu", weights_only=False))

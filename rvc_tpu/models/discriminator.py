@@ -16,45 +16,13 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import Conv1d, leaky_relu, LRELU_SLOPE
+from .layers import Conv1d, Conv2dTorch as _Conv2dBase, leaky_relu, LRELU_SLOPE
 
 
-class Conv2dTorch(nn.Module):
-    """2-D conv with torch layout weights (O, I, Kh, Kw); input (B, H, W, C)."""
+class Conv2dTorch(_Conv2dBase):
+    """Discriminator 2-D conv: weight-normalized by default."""
 
-    in_channels: int
-    out_channels: int
-    kernel_size: tuple[int, int]
-    stride: tuple[int, int] = (1, 1)
-    padding: tuple[int, int] = (0, 0)
     weight_norm: bool = True
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        import math
-
-        kh, kw = self.kernel_size
-        shape = (self.out_channels, self.in_channels, kh, kw)
-        fan_in = self.in_channels * kh * kw
-        bound = 1.0 / math.sqrt(fan_in)
-        init = lambda k, s, d=jnp.float32: jax.random.uniform(k, s, d, -bound, bound)  # noqa: E731
-        if self.weight_norm:
-            v = self.param("weight_v", init, shape)
-            norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2, 3), keepdims=True))
-            g = self.param("weight_g", lambda k, s: norm, (self.out_channels, 1, 1, 1))
-            w = g * v / (norm + 1e-12)
-        else:
-            w = self.param("weight", init, shape)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            w.astype(self.dtype),
-            window_strides=self.stride,
-            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
-            dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        )
-        b = self.param("bias", init, (self.out_channels,))
-        return y + b.astype(self.dtype)
 
 
 class DiscriminatorS(nn.Module):

@@ -1,0 +1,203 @@
+"""HuBERT / ContentVec content encoder in Flax.
+
+Replicates the HF ``HubertModel`` (+ a ``final_proj`` head) that the
+reference loads from ``content-vec-best.safetensors`` (reference
+lib/infer_pack/loaders.py:10-61): 7-layer conv feature extractor
+(group-norm on layer 0), feature projection, conv positional embedding,
+12 post-norm transformer layers.
+
+``extract_features(source, version)`` matches the reference exactly:
+v1 → hidden state after 8 transformer layers, through final_proj (256-d);
+v2 → hidden state after 11 layers (768-d). (The reference indexes
+``hidden_states[output_layer-1]`` where entry k is the output after k
+layers — verified against transformers; so the 12th layer is never used
+at inference.)
+
+Parameter tree mirrors the HF state_dict (feature_extractor.conv_layers.N,
+encoder.layers.N.attention..., final_proj) so safetensors import is a pure
+key-path mapping (see compat/torch_import.py).
+
+TPU notes: audio enters as (B, T); convs run channels-last; attention is
+plain dense QKV — XLA fuses it; whole thing jits into the conversion
+megakernel. bf16-friendly (layernorms in fp32).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import Conv1d, Linear
+
+
+@dataclass(frozen=True)
+class HubertConfig:
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Sequence[int] = (512, 512, 512, 512, 512, 512, 512)
+    conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    classifier_proj_size: int = 256
+    layer_norm_eps: float = 1e-5
+    feat_extract_norm: str = "group"
+
+    @classmethod
+    def from_hf_dict(cls, d: dict) -> "HubertConfig":
+        keys = {f.name for f in __import__("dataclasses").fields(cls)}
+        return cls(**{k: tuple(v) if isinstance(v, list) else v for k, v in d.items() if k in keys})
+
+
+class TLayerNorm(nn.Module):
+    """LayerNorm with HF param names (weight/bias)."""
+
+    dim: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda k, s: jnp.ones(s, jnp.float32), (self.dim,))
+        b = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (self.dim,))
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + self.eps) * w + b).astype(self.dtype)
+
+
+class GroupNormPerChannel(nn.Module):
+    """GroupNorm with num_groups == num_channels (per-channel instance norm
+    over time), as HF uses on conv layer 0. Input (B, T, C)."""
+
+    channels: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda k, s: jnp.ones(s, jnp.float32), (self.channels,))
+        b = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (self.channels,))
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + self.eps) * w + b).astype(self.dtype)
+
+
+class FeatureExtractor(nn.Module):
+    cfg: HubertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T) waveform -> (B, frames, conv_dim[-1])
+        h = x[..., None].astype(self.dtype)  # (B, T, 1)
+        in_dim = 1
+        for i, (dim, k, s) in enumerate(
+            zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
+        ):
+            h = Conv1d(in_dim, dim, k, stride=s, use_bias=False, dtype=self.dtype,
+                       name=f"conv_layers_{i}_conv")(h)
+            if i == 0 and self.cfg.feat_extract_norm == "group":
+                h = GroupNormPerChannel(dim, dtype=self.dtype, name="conv_layers_0_layer_norm")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            in_dim = dim
+        return h
+
+
+class SelfAttention(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None):
+        d_k = self.dim // self.heads
+        q = Linear(self.dim, self.dim, dtype=self.dtype, name="q_proj")(x) / math.sqrt(d_k)
+        k = Linear(self.dim, self.dim, dtype=self.dtype, name="k_proj")(x)
+        v = Linear(self.dim, self.dim, dtype=self.dtype, name="v_proj")(x)
+        B, T, _ = x.shape
+        q = q.reshape(B, T, self.heads, d_k).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, self.heads, d_k).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, self.heads, d_k).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k)
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhts,bhsd->bhtd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
+        return Linear(self.dim, self.dim, dtype=self.dtype, name="out_proj")(o)
+
+
+class EncoderLayer(nn.Module):
+    cfg: HubertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None):
+        c = self.cfg
+        h = SelfAttention(c.hidden_size, c.num_attention_heads, dtype=self.dtype,
+                          name="attention")(x, attn_bias)
+        x = TLayerNorm(c.hidden_size, c.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x + h)
+        f = Linear(c.hidden_size, c.intermediate_size, dtype=self.dtype,
+                   name="feed_forward_intermediate_dense")(x)
+        f = jax.nn.gelu(f, approximate=False)
+        f = Linear(c.intermediate_size, c.hidden_size, dtype=self.dtype,
+                   name="feed_forward_output_dense")(f)
+        return TLayerNorm(c.hidden_size, c.layer_norm_eps, dtype=self.dtype,
+                          name="final_layer_norm")(x + f)
+
+
+class HubertEncoder(nn.Module):
+    """HuBERT with final_proj (the ContentVec checkpoint layout)."""
+
+    cfg: HubertConfig = field(default_factory=HubertConfig)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, source: jax.Array, output_layer: int = 12,
+                 final_proj: bool = False) -> jax.Array:
+        """source: (B, T) 16 kHz waveform. Returns (B, frames, C) where
+        frames = conv-downsampled length (stride 320) and C is 768 (or 256
+        when final_proj=True). Matches reference
+        ``extract_features`` with output_layer 9 (v1, final_proj) / 12 (v2).
+        """
+        c = self.cfg
+        feats = FeatureExtractor(c, dtype=self.dtype, name="feature_extractor")(source)
+        h = TLayerNorm(c.conv_dim[-1], c.layer_norm_eps, dtype=self.dtype,
+                       name="feature_projection_layer_norm")(feats)
+        h = Linear(c.conv_dim[-1], c.hidden_size, dtype=self.dtype,
+                   name="feature_projection_projection")(h)
+        # conv positional embedding (groups=16, weight-normalized, gelu)
+        pos = Conv1d(
+            c.hidden_size, c.hidden_size, c.num_conv_pos_embeddings,
+            padding=c.num_conv_pos_embeddings // 2,
+            groups=c.num_conv_pos_embedding_groups,
+            weight_norm=True, dtype=self.dtype, name="encoder_pos_conv_embed_conv",
+        )(h)
+        if c.num_conv_pos_embeddings % 2 == 0:
+            pos = pos[:, :-1]
+        pos = jax.nn.gelu(pos, approximate=False)
+        h = h + pos
+        h = TLayerNorm(c.hidden_size, c.layer_norm_eps, dtype=self.dtype,
+                       name="encoder_layer_norm")(h)
+        # Reference semantics: hidden_states[output_layer-1] == output after
+        # (output_layer-1) transformer layers.
+        n_run = output_layer - 1
+        for i in range(n_run):
+            h = EncoderLayer(c, dtype=self.dtype, name=f"encoder_layers_{i}")(h)
+        if final_proj:
+            h = Linear(c.hidden_size, c.classifier_proj_size, dtype=self.dtype,
+                       name="final_proj")(h)
+        return h
+
+    def extract_features(self, source: jax.Array, version: str = "v2") -> jax.Array:
+        if version == "v1":
+            return self(source, output_layer=9, final_proj=True)
+        return self(source, output_layer=12, final_proj=False)

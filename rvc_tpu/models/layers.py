@@ -215,6 +215,109 @@ class LayerNorm(nn.Module):
         return (y * g + b).astype(self.dtype)
 
 
+class Conv2dTorch(nn.Module):
+    """2-D conv with torch layout weights (O, I, Kh, Kw); input (B, H, W, C)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        shape = (self.out_channels, self.in_channels, kh, kw)
+        fan_in = self.in_channels * kh * kw
+        bound = 1.0 / math.sqrt(fan_in)
+        init = lambda k, s, d=jnp.float32: jax.random.uniform(k, s, d, -bound, bound)  # noqa: E731
+        if self.weight_norm:
+            v = self.param("weight_v", init, shape)
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2, 3), keepdims=True))
+            g = self.param("weight_g", lambda k, s: norm, (self.out_channels, 1, 1, 1))
+            w = g * v / (norm + 1e-12)
+        else:
+            w = self.param("weight", init, shape)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", init, (self.out_channels,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """Transposed 2-D conv matching torch.nn.ConvTranspose2d.
+
+    weight: (I, O, Kh, Kw) torch layout; input (B, H, W, C).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    output_padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        shape = (self.in_channels, self.out_channels, kh, kw)
+        fan_in = self.out_channels * kh * kw
+        bound = 1.0 / math.sqrt(fan_in)
+        init = lambda k, s, d=jnp.float32: jax.random.uniform(k, s, d, -bound, bound)  # noqa: E731
+        w = self.param("weight", init, shape)
+        w_conv = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3)  # (O, I, kh, kw)
+        pads = [
+            (kh - 1 - self.padding[0], kh - 1 - self.padding[0] + self.output_padding[0]),
+            (kw - 1 - self.padding[1], kw - 1 - self.padding[1] + self.output_padding[1]),
+        ]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w_conv.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=pads,
+            lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", init, (self.out_channels,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class BatchNorm(nn.Module):
+    """Inference-mode BatchNorm over the channel (last) axis with torch
+    param names (weight/bias/running_mean/running_var). The pitch models
+    that use it are inference-only pretrained networks (reference
+    lib/rmvpe.py ConvBlockRes), so running stats are loaded, not updated.
+    """
+
+    channels: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda k, s: jnp.ones(s, jnp.float32), (self.channels,))
+        b = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (self.channels,))
+        mean = self.param("running_mean", lambda k, s: jnp.zeros(s, jnp.float32), (self.channels,))
+        var = self.param("running_var", lambda k, s: jnp.ones(s, jnp.float32), (self.channels,))
+        scale = (w * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
+        shift = (b - mean * w * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
+        return x * scale + shift
+
+
 def fold_weight_norm(params: dict) -> dict:
     """Replace every {weight_v, weight_g} pair by the folded plain weight.
 
