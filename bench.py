@@ -1,0 +1,68 @@
+"""Benchmark: RVC v2 48k voice conversion real-time factor on one chip.
+
+Measures the full pipeline (host chunking + f0 + device HuBERT → retrieval
+→ synthesizer) on a 60 s clip at 16 kHz input / 48 kHz output with
+full-size models (hubert-base, RMVPE, 48k_v2 synthesizer; random weights —
+identical FLOPs/shapes to the pretrained ones).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is RTF / 50 (the BASELINE.json north star of ≥50× real time
+per TPU v5e chip).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from rvc_tpu.pipelines.convert import ConvertSettings, make_random_converter
+
+    dtype = jnp.bfloat16 if any(d.platform != "cpu" for d in jax.devices()) else jnp.float32
+    # TPU-tuned chunking: ~16 s chunks batched together (attention memory
+    # scales with T² per chunk; batching chunks recovers the throughput)
+    vc = make_random_converter("48k_v2", dtype=dtype, chunking=(3, 5, 16, 20))
+
+    seconds = 60.0
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = 180 + 40 * np.sin(2 * np.pi * 0.4 * t)
+    audio = (0.4 * np.sin(2 * np.pi * np.cumsum(f0) / sr)).astype(np.float32)
+    # add some silence so chunking finds natural split points
+    audio[sr * 29 : sr * 30] *= 0.001
+
+    settings = ConvertSettings(f0_method="rmvpe", index_rate=0.0, protect=0.33)
+
+    # warmup (compile)
+    out, out_sr = vc.convert(audio, settings=settings)
+    assert out_sr == 48000, out_sr
+
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out, _ = vc.convert(audio, settings=settings)
+    dt = (time.perf_counter() - t0) / runs
+
+    rtf = seconds / dt
+    print(json.dumps({
+        "metric": "rtf_48k_rvc_v2_convert_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

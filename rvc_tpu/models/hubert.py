@@ -74,20 +74,41 @@ class TLayerNorm(nn.Module):
 
 class GroupNormPerChannel(nn.Module):
     """GroupNorm with num_groups == num_channels (per-channel instance norm
-    over time), as HF uses on conv layer 0. Input (B, T, C)."""
+    over time), as HF uses on conv layer 0. Input (B, T, C).
+
+    Accepts an optional (B, T, 1) validity mask so that zero-padded batch
+    tails (the batched-chunk pipeline pads every chunk to a bucket length)
+    do not shift the normalization statistics — without this, padding
+    changes *valid* outputs, unlike the reference's one-chunk-at-a-time
+    loop.
+    """
 
     channels: int
     eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         w = self.param("weight", lambda k, s: jnp.ones(s, jnp.float32), (self.channels,))
         b = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (self.channels,))
         xf = x.astype(jnp.float32)
-        mu = xf.mean(axis=1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        if mask is None:
+            mu = xf.mean(axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        else:
+            m = mask.astype(jnp.float32)
+            denom = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+            mu = (xf * m).sum(axis=1, keepdims=True) / denom
+            var = (jnp.square(xf - mu) * m).sum(axis=1, keepdims=True) / denom
         return ((xf - mu) * jax.lax.rsqrt(var + self.eps) * w + b).astype(self.dtype)
+
+
+def conv_output_lengths(cfg: HubertConfig, lengths: jax.Array) -> jax.Array:
+    """Valid frame counts through the conv stack for given sample lengths."""
+    out = lengths
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        out = (out - k) // s + 1
+    return out
 
 
 class FeatureExtractor(nn.Module):
@@ -95,17 +116,25 @@ class FeatureExtractor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths=None):
         # x: (B, T) waveform -> (B, frames, conv_dim[-1])
         h = x[..., None].astype(self.dtype)  # (B, T, 1)
         in_dim = 1
+        cur_len = lengths
         for i, (dim, k, s) in enumerate(
             zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
         ):
             h = Conv1d(in_dim, dim, k, stride=s, use_bias=False, dtype=self.dtype,
                        name=f"conv_layers_{i}_conv")(h)
+            if cur_len is not None:
+                cur_len = (cur_len - k) // s + 1
             if i == 0 and self.cfg.feat_extract_norm == "group":
-                h = GroupNormPerChannel(dim, dtype=self.dtype, name="conv_layers_0_layer_norm")(h)
+                mask = None
+                if cur_len is not None:
+                    t = jnp.arange(h.shape[1])[None, :, None]
+                    mask = (t < cur_len[:, None, None]).astype(h.dtype)
+                h = GroupNormPerChannel(dim, dtype=self.dtype,
+                                        name="conv_layers_0_layer_norm")(h, mask)
             h = jax.nn.gelu(h, approximate=False)
             in_dim = dim
         return h
@@ -162,14 +191,23 @@ class HubertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, source: jax.Array, output_layer: int = 12,
-                 final_proj: bool = False) -> jax.Array:
+                 final_proj: bool = False, lengths: jax.Array | None = None) -> jax.Array:
         """source: (B, T) 16 kHz waveform. Returns (B, frames, C) where
         frames = conv-downsampled length (stride 320) and C is 768 (or 256
         when final_proj=True). Matches reference
         ``extract_features`` with output_layer 9 (v1, final_proj) / 12 (v2).
+
+        ``lengths`` (B,) valid sample counts: masks the group norm and the
+        attention so zero-padded batch tails don't perturb valid frames.
         """
         c = self.cfg
-        feats = FeatureExtractor(c, dtype=self.dtype, name="feature_extractor")(source)
+        feats = FeatureExtractor(c, dtype=self.dtype, name="feature_extractor")(source, lengths)
+        attn_bias = None
+        if lengths is not None:
+            frame_len = conv_output_lengths(c, lengths)
+            t = jnp.arange(feats.shape[1])
+            key_valid = t[None, :] < frame_len[:, None]  # (B, T')
+            attn_bias = jnp.where(key_valid, 0.0, -1e9)[:, None, None, :]
         h = TLayerNorm(c.conv_dim[-1], c.layer_norm_eps, dtype=self.dtype,
                        name="feature_projection_layer_norm")(feats)
         h = Linear(c.conv_dim[-1], c.hidden_size, dtype=self.dtype,
@@ -191,13 +229,14 @@ class HubertEncoder(nn.Module):
         # (output_layer-1) transformer layers.
         n_run = output_layer - 1
         for i in range(n_run):
-            h = EncoderLayer(c, dtype=self.dtype, name=f"encoder_layers_{i}")(h)
+            h = EncoderLayer(c, dtype=self.dtype, name=f"encoder_layers_{i}")(h, attn_bias)
         if final_proj:
             h = Linear(c.hidden_size, c.classifier_proj_size, dtype=self.dtype,
                        name="final_proj")(h)
         return h
 
-    def extract_features(self, source: jax.Array, version: str = "v2") -> jax.Array:
+    def extract_features(self, source: jax.Array, version: str = "v2",
+                         lengths: jax.Array | None = None) -> jax.Array:
         if version == "v1":
-            return self(source, output_layer=9, final_proj=True)
-        return self(source, output_layer=12, final_proj=False)
+            return self(source, output_layer=9, final_proj=True, lengths=lengths)
+        return self(source, output_layer=12, final_proj=False, lengths=lengths)

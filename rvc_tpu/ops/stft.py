@@ -60,9 +60,17 @@ def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     """(..., T) -> (..., n_frames, frame_length) via strided patches.
 
     n_frames = 1 + (T - frame_length) // hop  (no padding).
+
+    Two lowerings: conv-patches (identity kernel, fuses well) for small
+    frames, and a gather for large frames — the conv path materializes a
+    frame_length² identity kernel, which for e.g. the half-second RMS
+    frames (48000 samples) would be a 9 GB constant.
     """
     *lead, T = x.shape
     n_frames = 1 + (T - frame_length) // hop
+    if frame_length > 4096:
+        idx = jnp.arange(frame_length)[None, :] + hop * jnp.arange(n_frames)[:, None]
+        return x[..., idx]
     x2 = x.reshape((-1, 1, T))
     # conv_general_dilated_patches: (N, C, T) -> (N, C*frame_length, n_frames)
     patches = jax.lax.conv_general_dilated_patches(

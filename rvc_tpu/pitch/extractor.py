@@ -183,6 +183,7 @@ class PitchExtractor:
         self.crepe_params = crepe_params
         self.crepe_tiny_params = crepe_tiny_params
         self.dtype = dtype
+        self._rmvpe_jit = None
         self.methods: dict[str, Callable] = {
             "pm": self._pm,
             "dio": self._dio,
@@ -209,9 +210,14 @@ class PitchExtractor:
         return _median_filter(f0, filter_radius if filter_radius > 2 else 0)
 
     def _rmvpe(self, audio, f0_min, f0_max, thred=0.03, **kw):
-        from ..models.rmvpe import RMVPE
+        if self._rmvpe_jit is None:
+            from ..models.rmvpe import RMVPE
 
-        return RMVPE(dtype=self.dtype).apply(self.rmvpe_params, audio, thred)
+            model = RMVPE(dtype=self.dtype)
+            self._rmvpe_jit = jax.jit(
+                lambda p, a, t: model.apply(p, a, t), static_argnums=()
+            )
+        return self._rmvpe_jit(self.rmvpe_params, audio, jnp.float32(thred))
 
     def _rmvpe_clipped(self, audio, f0_min, f0_max, thred=0.03, **kw):
         return jnp.clip(self._rmvpe(audio, f0_min, f0_max, thred), f0_min, f0_max)

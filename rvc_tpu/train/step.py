@@ -1,0 +1,270 @@
+"""The GAN training step (reference training_cli.py:374-602, jit-compiled).
+
+One fused step per batch:
+  1. generator forward via jax.vjp (forward runs ONCE; its pullback later
+     carries the G gradients — the reference pays two backward graphs
+     through autograd, we pay one forward + two pullback passes),
+  2. discriminator update on (real, stop_grad(fake)) with the adaptive
+     balancer,
+  3. generator update through the *updated* discriminator (exactly the
+     reference's ordering) with mel/KL/FM/adversarial/aux losses balanced,
+  4. both optimizers are optax.adamw chains with per-epoch exponential lr
+     decay applied outside.
+
+Everything — including the loss balancer EMA state — lives in TrainState,
+so the step is a pure function: jit it with a dp-sharded batch and
+replicated params and XLA handles the gradient all-reduce (see
+parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import RVCConfig
+from ..models.discriminator import MultiPeriodDiscriminator
+from ..models.layers import slice_segments
+from ..models.synthesizer import Synthesizer
+from ..ops.mel import mel_spectrogram, spec_to_mel
+from . import balancer as bal
+from . import losses as L
+
+G_LOSS_KEYS = ("loss_gen", "loss_fm", "loss_mel", "loss_kl",
+               "harmonic_loss", "tsi_loss", "tefs_loss")
+D_LOSS_KEYS = ("loss_disc", "gradient_penalty")
+
+
+class TrainState(NamedTuple):
+    params_g: Any
+    params_d: Any
+    opt_g: Any
+    opt_d: Any
+    step: jax.Array
+    balancer_g: bal.BalancerState
+    balancer_d: bal.BalancerState
+
+
+def make_optimizer(lr_schedule, betas=(0.8, 0.99), eps=1e-9, weight_decay=0.01):
+    """AdamW matching torch defaults (reference training_cli.py:209-239)."""
+    return optax.adamw(
+        learning_rate=lr_schedule, b1=betas[0], b2=betas[1], eps=eps,
+        weight_decay=weight_decay,
+    )
+
+
+def lr_schedule(base_lr: float, lr_decay: float, steps_per_epoch: int):
+    """Per-epoch exponential decay (reference ExponentialLR, :275-280)."""
+    def fn(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * (lr_decay ** epoch)
+
+    return fn
+
+
+class Trainer:
+    """Owns the models/optimizers and the jitted step."""
+
+    def __init__(self, config: RVCConfig, dtype=jnp.float32, balancer_active=True):
+        self.config = config
+        self.dtype = dtype
+        self.balancer_active = balancer_active
+        self.synth = Synthesizer.from_config(
+            config.model, config.data, config.train.segment_size, dtype=dtype
+        )
+        self.disc = MultiPeriodDiscriminator(version=config.model.version, dtype=dtype)
+        self.msml = None  # optional MultiScaleMelLoss, set via use_multiscale()
+        self.seg_frames = config.train.segment_size // config.data.hop_length
+        self._step_fn = None
+
+    def use_multiscale(self, **kwargs):
+        self.msml = L.MultiScaleMelLoss(self.config.data.sampling_rate, **kwargs)
+
+    # -- init ----------------------------------------------------------------
+    def init_state(self, rng: jax.Array, batch: dict, steps_per_epoch: int = 100) -> TrainState:
+        t = self.config.train
+        kg, kd, kn = jax.random.split(rng, 3)
+        params_g = self.synth.init(
+            {"params": kg, "noise": kn},
+            batch["phone"], batch["phone_lengths"],
+            batch.get("pitch"), batch.get("pitchf"),
+            batch["spec"], batch["spec_lengths"], batch["sid"],
+        )
+        seg = jnp.zeros((batch["wave"].shape[0], t.segment_size, 1), self.dtype)
+        params_d = self.disc.init(kd, seg, seg)
+        self.sched_g = lr_schedule(t.learning_rate, t.lr_decay, steps_per_epoch)
+        self.sched_d = lr_schedule(t.learning_rate, t.lr_decay, steps_per_epoch)
+        self.tx_g = make_optimizer(self.sched_g, t.betas, t.eps)
+        self.tx_d = make_optimizer(self.sched_d, t.betas, t.eps)
+        return TrainState(
+            params_g=params_g,
+            params_d=params_d,
+            opt_g=self.tx_g.init(params_g["params"]),
+            opt_d=self.tx_d.init(params_d["params"]),
+            step=jnp.zeros((), jnp.int32),
+            balancer_g=bal.init_state(len(G_LOSS_KEYS)),
+            balancer_d=bal.init_state(len(D_LOSS_KEYS)),
+        )
+
+    # -- the step -------------------------------------------------------------
+    def _build_step(self):
+        cfg = self.config
+        t, d = cfg.train, cfg.data
+        synth, disc = self.synth, self.disc
+        seg_frames = self.seg_frames
+        use_f0 = cfg.model.use_f0
+        msml = self.msml
+        balancer_active = self.balancer_active
+
+        g_initial = jnp.asarray(
+            [1.0, 1.0, t.c_mel, t.c_kl, t.c_hd, t.c_tsi, t.c_tefs], jnp.float32
+        )
+        d_initial = jnp.asarray([1.0, 0.0], jnp.float32)
+
+        def g_forward(params_g, batch, noise_key):
+            return synth.apply(
+                params_g,
+                batch["phone"], batch["phone_lengths"],
+                batch.get("pitch"), batch.get("pitchf"),
+                batch["spec"], batch["spec_lengths"], batch["sid"],
+                rngs={"noise": noise_key},
+            )
+
+        def step(state: TrainState, batch: dict, key: jax.Array) -> tuple[TrainState, dict]:
+            k_noise, _ = jax.random.split(key)
+
+            # ---- generator forward once, keep the pullback
+            (y_hat, ids_slice, x_mask, z_mask, flows), g_vjp = jax.vjp(
+                lambda pg: g_forward(pg, batch, k_noise), state.params_g
+            )
+            z, z_p, m_p, logs_p, m_q, logs_q = flows
+            wave_seg = slice_segments(
+                batch["wave"][..., None], ids_slice * d.hop_length, t.segment_size
+            )  # (B, seg, 1)
+
+            # ---- mel targets (reference :521-546)
+            mel = spec_to_mel(batch["spec"], d.filter_length, d.n_mel_channels,
+                              d.sampling_rate, d.mel_fmin, d.mel_fmax)
+            y_mel = slice_segments(mel, ids_slice, seg_frames)
+            y_hat_f = y_hat[..., 0].astype(jnp.float32)
+            y_hat_mel = mel_spectrogram(
+                y_hat_f, d.filter_length, d.n_mel_channels, d.sampling_rate,
+                d.hop_length, d.win_length, d.mel_fmin, d.mel_fmax,
+            )
+
+            # ---- discriminator update (fake detached)
+            fake = jax.lax.stop_gradient(y_hat)
+
+            def d_loss_fn(params_d, bstate):
+                y_d_r, y_d_g, _, _ = disc.apply(params_d, wave_seg, fake)
+                loss_disc, _ = L.discriminator_loss(y_d_r, y_d_g)
+                losses_vec = jnp.stack([loss_disc, jnp.float32(0.0)])
+                total, new_b, _ = bal.balance(bstate, losses_vec, d_initial,
+                                              active=balancer_active)
+                return total, (loss_disc, new_b)
+
+            (loss_d_all, (loss_disc, new_bd)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.params_d, state.balancer_d)
+            d_updates, new_opt_d = self.tx_d.update(
+                d_grads["params"], state.opt_d, state.params_d["params"]
+            )
+            new_params_d = {"params": optax.apply_updates(state.params_d["params"],
+                                                          d_updates)}
+
+            # ---- generator update through the UPDATED discriminator
+            def g_loss_fn(y_hat_in, y_hat_mel_in, flows_in, bstate):
+                z_p_, logs_q_, m_p_, logs_p_ = flows_in
+                y_d_r, y_d_g, fmap_r, fmap_g = disc.apply(new_params_d, wave_seg, y_hat_in)
+                if msml is not None:
+                    loss_mel = msml(y_hat_in[..., 0].astype(jnp.float32),
+                                    wave_seg[..., 0].astype(jnp.float32))
+                else:
+                    loss_mel = L.mel_l1(y_mel, y_hat_mel_in)
+                loss_kl = L.kl_loss(z_p_, logs_q_, m_p_, logs_p_, z_mask)
+                loss_fm = L.feature_loss(fmap_r, fmap_g)
+                loss_gen, _ = L.generator_loss(y_d_g)
+                harmonic, tefs, tsi = L.combined_aux_loss(
+                    wave_seg[..., 0].astype(jnp.float32),
+                    y_hat_in[..., 0].astype(jnp.float32),
+                    c_tefs=t.c_tefs, c_hd=t.c_hd, c_tsi=t.c_tsi,
+                    n_mels=d.n_mel_channels, sample_rate=d.sampling_rate,
+                    n_fft=d.filter_length, hop_length=d.hop_length,
+                    win_length=d.win_length, fmin=d.mel_fmin, fmax=d.mel_fmax,
+                    eps=t.eps,
+                )
+                losses_vec = jnp.stack([
+                    loss_gen, loss_fm, loss_mel, loss_kl, harmonic, tsi, tefs
+                ])
+                total, new_b, weights = bal.balance(bstate, losses_vec, g_initial,
+                                                    active=balancer_active)
+                aux = {
+                    "loss_gen": loss_gen, "loss_fm": loss_fm, "loss_mel": loss_mel,
+                    "loss_kl": loss_kl, "harmonic_loss": harmonic, "tsi_loss": tsi,
+                    "tefs_loss": tefs, "loss_gen_all": total, "balancer": new_b,
+                }
+                return total, aux
+
+            # grads of the G loss wrt (y_hat, y_hat_mel, flow stats) …
+            flows_for_loss = (z_p, logs_q, m_p, logs_p)
+            (loss_g_all, g_aux), out_grads = jax.value_and_grad(
+                g_loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(y_hat, y_hat_mel, flows_for_loss, state.balancer_g)
+            gy, gym, gflows = out_grads
+            gz_p, glogs_q, gm_p, glogs_p = gflows
+
+            # … chain y_hat_mel grad through the mel frontend into y_hat
+            _, mel_vjp = jax.vjp(
+                lambda w: mel_spectrogram(
+                    w[..., 0].astype(jnp.float32), d.filter_length, d.n_mel_channels,
+                    d.sampling_rate, d.hop_length, d.win_length, d.mel_fmin, d.mel_fmax,
+                ),
+                y_hat,
+            )
+            gy = gy + mel_vjp(gym)[0].astype(gy.dtype)
+
+            # … and pull everything back through the generator in ONE pass
+            import numpy as _np
+
+            zeros = lambda a: jnp.zeros_like(a)  # noqa: E731
+            # integer outputs take float0 cotangents
+            ids_cot = _np.zeros(ids_slice.shape, jax.dtypes.float0)
+            cotangents = (
+                gy, ids_cot, zeros(x_mask), zeros(z_mask),
+                (zeros(z), gz_p.astype(z_p.dtype), gm_p.astype(m_p.dtype),
+                 glogs_p.astype(logs_p.dtype), zeros(m_q),
+                 glogs_q.astype(logs_q.dtype)),
+            )
+            g_grads = g_vjp(cotangents)[0]
+
+            g_updates, new_opt_g = self.tx_g.update(
+                g_grads["params"], state.opt_g, state.params_g["params"]
+            )
+            new_params_g = {"params": optax.apply_updates(state.params_g["params"],
+                                                          g_updates)}
+
+            grad_norm_g = optax.global_norm(g_grads["params"])
+            grad_norm_d = optax.global_norm(d_grads["params"])
+
+            metrics = {
+                "loss_disc": loss_disc, "loss_disc_all": loss_d_all,
+                "grad_norm_g": grad_norm_g, "grad_norm_d": grad_norm_d,
+                **{k: v for k, v in g_aux.items() if k != "balancer"},
+            }
+            new_state = TrainState(
+                params_g=new_params_g, params_d=new_params_d,
+                opt_g=new_opt_g, opt_d=new_opt_d,
+                step=state.step + 1,
+                balancer_g=g_aux["balancer"], balancer_d=new_bd,
+            )
+            return new_state, metrics
+
+        return step
+
+    def step_fn(self):
+        if self._step_fn is None:
+            self._step_fn = jax.jit(self._build_step(), donate_argnums=(0,))
+        return self._step_fn

@@ -1,0 +1,129 @@
+"""End-to-end conversion pipeline tests (tiny random models, CPU)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvc_tpu.config import RVCConfig, DataConfig, ModelConfig, TrainConfig
+from rvc_tpu.pipelines.convert import (
+    ConvertSettings,
+    VoiceConverter,
+    find_split_points,
+    make_random_converter,
+)
+from rvc_tpu.models.hubert import HubertConfig
+
+
+TINY_HUBERT = HubertConfig(
+    hidden_size=32, num_hidden_layers=12, num_attention_heads=2,
+    intermediate_size=64, conv_dim=(16,) * 7, conv_stride=(5, 2, 2, 2, 2, 2, 2),
+    conv_kernel=(10, 3, 3, 3, 3, 2, 2), classifier_proj_size=8,
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+)
+
+
+def tiny_converter():
+    """Small synth (feature_dim matched to tiny hubert) for fast CPU tests."""
+    import jax
+    from rvc_tpu.models.synthesizer import Synthesizer
+    from rvc_tpu.models.hubert import HubertEncoder
+    from rvc_tpu.pitch.extractor import PitchExtractor
+
+    kwargs = dict(
+        spec_channels=129, segment_size=16, inter_channels=16, hidden_channels=16,
+        filter_channels=32, n_heads=2, n_layers=1, kernel_size=3, p_dropout=0.0,
+        resblock="1", resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(10, 4, 2, 2), upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 8, 4, 4), spk_embed_dim=4, gin_channels=8,
+        sr=16000, feature_dim=32, use_f0=True,
+    )
+    synth = Synthesizer(**kwargs)
+    feat = jnp.zeros((1, 16, 32))
+    lens = jnp.array([16])
+    sp = synth.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        feat, lens, jnp.ones((1, 16), jnp.int32), jnp.full((1, 16), 150.0),
+        jnp.array([0]), method=synth.infer,
+    )
+    hub = HubertEncoder(TINY_HUBERT)
+    hp = hub.init(jax.random.PRNGKey(2), jnp.zeros((1, 3200)), output_layer=12)
+    cfg = RVCConfig(x_pad=1, x_query=2, x_center=4, x_max=5)
+    return VoiceConverter(sp, kwargs, hp, TINY_HUBERT, config=cfg)
+
+
+@pytest.fixture(scope="module")
+def converter():
+    return tiny_converter()
+
+
+def _test_signal(seconds, sr=16000):
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = 220 + 30 * np.sin(2 * np.pi * 0.5 * t)
+    return (0.4 * np.sin(2 * np.pi * np.cumsum(f0) / sr)).astype(np.float32)
+
+
+def test_find_split_points():
+    x = np.random.default_rng(0).standard_normal(16000 * 10).astype(np.float32) * 0.1
+    x[16000 * 4 - 200 : 16000 * 4 + 200] = 0  # silence near 4 s
+    pts = find_split_points(x, 16000 * 4, 16000 * 1)
+    assert len(pts) == 2
+    assert abs(pts[0] - 16000 * 4) < 16000  # lands in the quiet region
+    assert abs(pts[0] - 16000 * 4) < 500
+
+
+def test_convert_short_clip(converter):
+    """Short clip: single chunk, full pipeline runs, output sane."""
+    x = _test_signal(2.0)
+    out, sr = converter.convert(x, settings=ConvertSettings(f0_method="pm", index_rate=0.0))
+    assert sr == 16000
+    assert out.dtype == np.int16
+    # output duration matches input (t_pad trimmed symmetrically)
+    assert abs(len(out) - len(x)) <= 16000 // 100 * 2
+    assert np.abs(out).max() > 0
+
+
+def test_convert_long_clip_chunks(converter):
+    """Longer-than-t_max clip goes through the chunked/batched path and the
+    concatenated output still matches the input duration."""
+    x = _test_signal(11.0)
+    out, sr = converter.convert(x, settings=ConvertSettings(f0_method="pm", index_rate=0.0))
+    assert abs(len(out) - len(x)) <= 16000 // 100 * 3
+    assert np.abs(out).max() > 0
+
+
+def test_convert_with_index(converter, rng):
+    x = _test_signal(1.0)
+    bank = rng.standard_normal((64, 32)).astype(np.float32)
+    converter.index_bank = jnp.asarray(bank)
+    out, _ = converter.convert(
+        x, settings=ConvertSettings(f0_method="pm", index_rate=0.75, protect=0.2)
+    )
+    assert np.abs(out).max() > 0
+    converter.index_bank = None
+
+
+def test_convert_no_f0_path():
+    """use_f0=False variant exercises the plain HiFiGAN decoder."""
+    import jax
+    from rvc_tpu.models.synthesizer import Synthesizer
+    from rvc_tpu.models.hubert import HubertEncoder
+
+    kwargs = dict(
+        spec_channels=129, segment_size=16, inter_channels=16, hidden_channels=16,
+        filter_channels=32, n_heads=2, n_layers=1, kernel_size=3, p_dropout=0.0,
+        resblock="1", resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(10, 4, 2, 2), upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 8, 4, 4), spk_embed_dim=4, gin_channels=8,
+        sr=16000, feature_dim=32, use_f0=False,
+    )
+    synth = Synthesizer(**kwargs)
+    sp = synth.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 32)), jnp.array([16]), None, None, jnp.array([0]),
+        method=synth.infer,
+    )
+    hub = HubertEncoder(TINY_HUBERT)
+    hp = hub.init(jax.random.PRNGKey(2), jnp.zeros((1, 3200)), output_layer=12)
+    vc = VoiceConverter(sp, kwargs, hp, TINY_HUBERT,
+                        config=RVCConfig(x_pad=1, x_query=2, x_center=4, x_max=5))
+    out, sr = vc.convert(_test_signal(1.0), settings=ConvertSettings(index_rate=0.0))
+    assert np.abs(out).max() > 0
