@@ -1,0 +1,112 @@
+"""Separation stack tests (tiny nets, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvc_tpu.models.mdx_net import MDXSpectrogram, TFCTDFNet, ConvTDFNetTrim
+from rvc_tpu.models.vr_network import CascadedASPPNet
+from rvc_tpu.ops import bands as B
+from rvc_tpu.pipelines.separate import MDXSeparator, VRSeparator, make_padding, route_separator
+
+
+def test_mdx_spectrogram_roundtrip(rng):
+    # full-bin pack/unpack is exact; real models crop dim_f < n_bins (lossy
+    # top end, same as the reference)
+    sp = MDXSpectrogram(dim_f=257, dim_t=32, n_fft=512, hop=128)
+    x = rng.standard_normal((2, 2, sp.chunk_size)).astype(np.float32)
+    spec = sp.pack(jnp.asarray(x))
+    assert spec.shape == (2, 32, 257, 4)
+    y = np.asarray(sp.unpack(spec))
+    # center trim region reconstructs (edges lose OLA coverage)
+    t = sp.trim
+    np.testing.assert_allclose(y[:, :, t:-t], x[:, :, t:-t], atol=1e-3)
+
+
+def test_conv_tdf_net_shapes(rng):
+    net = ConvTDFNetTrim(num_blocks=5, l=1, g=4, bn=2, dim_f=64, norm="GroupNorm2")
+    x = jnp.asarray(rng.standard_normal((1, 16, 64, 4)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (1, 16, 64, 4)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_tfc_tdf_net_shapes(rng):
+    net = TFCTDFNet(num_targets=2, num_subbands=2, num_scales=2, scale=(2, 2),
+                    num_blocks_per_scale=1, c=4, g=4, bn=2, dim_f=64)
+    # packed spec input: (B, T, F, C=num_channels*2)
+    x = jnp.asarray(rng.standard_normal((1, 8, 64, 4)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (1, 2, 8, 64, 4)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_make_padding():
+    left, right, roi = make_padding(1000, 512, 128)
+    assert left == 128
+    assert roi == 256
+    assert (1000 % roi) + right - left == roi
+
+
+def test_band_spectrogram_roundtrip(rng):
+    mp = B.ModelParameters()
+    x = (0.3 * rng.standard_normal((2, 44100))).astype(np.float32)
+    spec = B.wave_to_spectrogram(x, 512, 1536)
+    assert spec.shape[0] == 2 and spec.shape[1] == 769
+    y = B.spectrogram_to_wave(spec, 512)
+    n = min(y.shape[-1], x.shape[-1])
+    np.testing.assert_allclose(y[:, 2000 : n - 2000], x[:, 2000 : n - 2000], atol=1e-3)
+
+
+def test_band_combine_and_reconstruct(rng):
+    """Full 2-band default params: combine then reconstruct runs and yields
+    audio at the top-band rate."""
+    mp = B.ModelParameters()
+    p = mp.param
+    sr_hi = p["band"][2]["sr"]
+    x = (0.2 * rng.standard_normal((2, sr_hi))).astype(np.float32)
+    waves = {2: x, 1: np.asarray(B._resample_np(x, sr_hi, p["band"][1]["sr"]))}
+    specs = {
+        d: B.wave_to_spectrogram(waves[d], p["band"][d]["hl"], p["band"][d]["n_fft"])
+        for d in (1, 2)
+    }
+    comb = B.combine_spectrograms(specs, mp)
+    assert comb.shape[1] == p["bins"] + 1
+    wav = B.cmb_spectrogram_to_wave(comb, mp)
+    assert wav.shape[0] == 2
+    assert np.isfinite(wav).all()
+    assert abs(wav.shape[1] - sr_hi) < 4096
+
+
+def test_vr_cascaded_net(rng):
+    net = CascadedASPPNet(n_fft=128)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 512, 65, 2)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)
+    mask = net.apply(params, x)
+    assert mask.shape == (1, 512, 65, 2)
+    m = np.asarray(mask)
+    assert (m >= 0).all() and (m <= 1).all()
+    # aggressiveness exponent reduces the mask
+    mask2 = net.apply(params, x, aggressiveness={"split_bin": 32, "value": 0.5})
+    assert np.asarray(mask2).mean() <= m.mean() + 1e-6
+
+
+def test_mdx_separator_end_to_end(rng):
+    net = ConvTDFNetTrim(num_blocks=5, l=1, g=4, bn=2, dim_f=256, norm="GroupNorm2")
+    x0 = jnp.zeros((1, 32, 256, 4))
+    params = net.init(jax.random.PRNGKey(0), x0)
+    sep = MDXSeparator(params, dim_f=256, dim_t=32, n_fft=512, hop=128, chunks=0,
+                       net=net)
+    audio = (0.2 * rng.standard_normal(44100)).astype(np.float32)
+    out = sep.run_inference(audio, 44100)
+    assert out["sr"] == 44100
+    assert out["vocals"][0].dtype == np.int16
+    assert out["vocals"][0].shape == out["instrumentals"][0].shape
+
+
+def test_routing():
+    assert route_separator("UVR-MDX-NET-vocal.onnx") == "mdx"
+    assert route_separator("UVR-DeEcho-DeReverb.pth") == "vr_new"
+    assert route_separator("HP5-vocals.pth") == "vr"
