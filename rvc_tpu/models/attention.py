@@ -43,6 +43,34 @@ def _abs_to_rel(x: jax.Array) -> jax.Array:
     return x[:, :, :, 1:]
 
 
+def _band_to_dense(band: jax.Array, T_s: int, w: int) -> jax.Array:
+    """(B, H, T, 2w+1) banded logits -> (B, H, T, T_s) dense, where
+    band[..., t, m] lands at key column j = t + m - w (zeros elsewhere).
+
+    Pure pad/reshape (the skew trick applied at band width instead of the
+    textbook 2T-1): row t of the padded band shifts right by t when the
+    trailing dim shrinks by one, which is exactly the diagonal alignment.
+    """
+    B, H, T, W = band.shape
+    padded = jnp.pad(band, ((0, 0), (0, 0), (0, 0), (0, T_s)))  # (B,H,T,W+T_s)
+    flat = padded.reshape(B, H, T * (W + T_s))
+    flat = flat[:, :, : T * (W + T_s - 1)]
+    shifted = flat.reshape(B, H, T, W + T_s - 1)  # shifted[t, t+m] = band[t, m]
+    return shifted[:, :, :, w : w + T_s]
+
+
+def _dense_to_band(p: jax.Array, w: int) -> jax.Array:
+    """(B, H, T, S) dense -> (B, H, T, 2w+1) band: out[t, m] = p[t, t+m-w]
+    (zeros out of range). Inverse alignment of _band_to_dense."""
+    B, H, T, S = p.shape
+    W = 2 * w + 1
+    padded = jnp.pad(p, ((0, 0), (0, 0), (0, 0), (w, w)))  # (B,H,T,S+2w)
+    flat = padded.reshape(B, H, T * (S + 2 * w))
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, T)))
+    shifted = flat.reshape(B, H, T, S + 2 * w + 1)  # shifted[t, c] = padded[t, c+t]
+    return shifted[:, :, :, :W]
+
+
 def _window_embeddings(emb: jax.Array, length: int, window: int) -> jax.Array:
     """Slice/pad the (heads, 2*window+1, d) table to (heads, 2*length-1, d)."""
     pad = max(length - (window + 1), 0)
@@ -84,21 +112,27 @@ class MultiHeadAttention(nn.Module):
         scores = jnp.einsum("bhtd,bhsd->bhts", qh * scale, kh)
 
         if self.window_size is not None:
+            # Banded relative attention: only 2w+1 diagonals are nonzero, so
+            # compute (B, H, T, 2w+1) logits and gather them onto the score
+            # matrix — the textbook skew trick materializes (B, H, T, 2T-1)
+            # buffers, ~100× more HBM traffic at song-scale T.
+            w = self.window_size
             n_rel = 1 if self.heads_share else H
             rel_std = d_k**-0.5
             emb_rel_k = self.param(
                 "emb_rel_k",
                 lambda key, s: rel_std * jax.random.normal(key, s, jnp.float32),
-                (n_rel, 2 * self.window_size + 1, d_k),
+                (n_rel, 2 * w + 1, d_k),
             )
             emb_rel_v = self.param(
                 "emb_rel_v",
                 lambda key, s: rel_std * jax.random.normal(key, s, jnp.float32),
-                (n_rel, 2 * self.window_size + 1, d_k),
+                (n_rel, 2 * w + 1, d_k),
             )
-            rel_k = _window_embeddings(emb_rel_k.astype(self.dtype), T_s, self.window_size)
-            rel_logits = jnp.einsum("bhtd,gmd->bhtm", qh * scale, rel_k)
-            scores = scores + _rel_to_abs(rel_logits)
+            band = jnp.einsum(
+                "bhtd,gmd->bhtm", qh * scale, emb_rel_k.astype(self.dtype)
+            )  # (B, H, T, 2w+1); band[..., m] belongs at key j = t + m - w
+            scores = scores + _band_to_dense(band, T_s, w)
 
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
@@ -108,9 +142,8 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhts,bhsd->bhtd", p, vh)
 
         if self.window_size is not None:
-            rel_w = _abs_to_rel(p)
-            rel_v = _window_embeddings(emb_rel_v.astype(self.dtype), T_s, self.window_size)
-            out = out + jnp.einsum("bhtm,gmd->bhtd", rel_w, rel_v)
+            rel_w = _dense_to_band(p, w)  # (B, H, T, 2w+1): rel_w[t,m]=p[t,t+m-w]
+            out = out + jnp.einsum("bhtm,gmd->bhtd", rel_w, emb_rel_v.astype(self.dtype))
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T_t, self.channels)
         return Conv1d(self.channels, self.out_channels, 1, dtype=self.dtype, name="conv_o")(out)

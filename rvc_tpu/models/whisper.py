@@ -1,0 +1,299 @@
+"""Whisper encoder-decoder in Flax (STT + lip-sync feature frontend).
+
+The reference vendors the full OpenAI Whisper (lib/musetalk/whisper/, 2550
+LoC, torch) and uses (a) ``transcribe`` for the STT node (custom_nodes/
+stt.py:224) and (b) per-segment encoder embeddings for MuseTalk lip-sync
+conditioning (audio2feature.py). This is a from-scratch Flax
+implementation of the same architecture: log-mel frontend → conv stem +
+sinusoidal positions → pre-norm transformer encoder; token/position
+embeddings → causal self-attention + cross-attention decoder with a
+static KV cache for greedy decoding.
+
+Param names mirror the OpenAI checkpoint state_dict
+(encoder.blocks.N.attn.query …) so ``compat.torch_import.build_tree``
+loads the official .pt weights directly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from ..ops.mel import _mel_filterbank_np
+from ..ops.stft import stft as _stft
+from .layers import Linear
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP_LENGTH = 160
+N_MELS = 80
+CHUNK_LENGTH = 30
+N_SAMPLES = CHUNK_LENGTH * SAMPLE_RATE
+N_FRAMES = N_SAMPLES // HOP_LENGTH  # 3000
+
+
+@dataclass(frozen=True)
+class WhisperDims:
+    """Model dimensions (OpenAI naming). Defaults = tiny."""
+
+    n_mels: int = 80
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+
+
+WHISPER_SIZES = {
+    "tiny": WhisperDims(),
+    "base": WhisperDims(n_audio_state=512, n_audio_head=8, n_audio_layer=6,
+                        n_text_state=512, n_text_head=8, n_text_layer=6),
+    "small": WhisperDims(n_audio_state=768, n_audio_head=12, n_audio_layer=12,
+                         n_text_state=768, n_text_head=12, n_text_layer=12),
+    "medium": WhisperDims(n_audio_state=1024, n_audio_head=16, n_audio_layer=24,
+                          n_text_state=1024, n_text_head=16, n_text_layer=24),
+}
+
+
+def log_mel_spectrogram(audio: jax.Array) -> jax.Array:
+    """(B, T) 16 kHz -> (B, frames, 80) normalized log10-mel (whisper audio.py
+    semantics: reflect-pad center STFT, power, slaney mel, log10 clamp,
+    dynamic-range clip to max-8, (x+4)/4)."""
+    real, imag = _stft(audio, N_FFT, HOP_LENGTH, N_FFT, center=True)
+    # whisper drops the final frame
+    power = (real * real + imag * imag)[:, :-1, :]
+    fb = jnp.asarray(_mel_filterbank_np(SAMPLE_RATE, N_FFT, N_MELS, 0.0, None),
+                     power.dtype)
+    mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_spec = jnp.maximum(log_spec, log_spec.max(axis=(1, 2), keepdims=True) - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    log_timescale = np.log(10000) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+class WhisperLN(nn.Module):
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda k, s: jnp.ones(s, jnp.float32), (self.dim,))
+        b = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (self.dim,))
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        return (((xf - mu) * jax.lax.rsqrt(var + 1e-5)) * w + b).astype(self.dtype)
+
+
+class WhisperAttention(nn.Module):
+    """MHA with OpenAI naming (query/key/value/out; key has no bias)."""
+
+    n_state: int
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xa=None, mask=None, kv_cache=None):
+        q = Linear(self.n_state, self.n_state, dtype=self.dtype, name="query")(x)
+        src = xa if xa is not None else x
+        k = Linear(self.n_state, self.n_state, use_bias=False, dtype=self.dtype,
+                   name="key")(src)
+        v = Linear(self.n_state, self.n_state, dtype=self.dtype, name="value")(src)
+        new_cache = None
+        if kv_cache is not None:
+            # append at position kv_cache["pos"] (self-attn decode step)
+            ck, cv, pos = kv_cache
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, pos, 0))
+            k, v = ck, cv
+            new_cache = (ck, cv)
+        B, Tq, _ = q.shape
+        Tk = k.shape[1]
+        H, d = self.n_head, self.n_state // self.n_head
+        scale = (self.n_state // self.n_head) ** -0.25
+        qh = (q * scale).reshape(B, Tq, H, d).transpose(0, 2, 1, 3)
+        kh = (k * scale).reshape(B, Tk, H, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, Tk, H, d).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh)
+        if mask is not None:
+            scores = scores + mask
+        p = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(self.dtype)
+        o = jnp.einsum("bhts,bhsd->bhtd", p, vh).transpose(0, 2, 1, 3).reshape(B, Tq, -1)
+        return Linear(self.n_state, self.n_state, dtype=self.dtype, name="out")(o), new_cache
+
+
+class ResidualBlock(nn.Module):
+    n_state: int
+    n_head: int
+    cross: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xa=None, mask=None, self_cache=None):
+        h = WhisperLN(self.n_state, dtype=self.dtype, name="attn_ln")(x)
+        a, new_cache = WhisperAttention(self.n_state, self.n_head, dtype=self.dtype,
+                                        name="attn")(h, mask=mask, kv_cache=self_cache)
+        x = x + a
+        if self.cross:
+            h = WhisperLN(self.n_state, dtype=self.dtype, name="cross_attn_ln")(x)
+            a, _ = WhisperAttention(self.n_state, self.n_head, dtype=self.dtype,
+                                    name="cross_attn")(h, xa=xa)
+            x = x + a
+        h = WhisperLN(self.n_state, dtype=self.dtype, name="mlp_ln")(x)
+        h = Linear(self.n_state, self.n_state * 4, dtype=self.dtype, name="mlp_0")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = Linear(self.n_state * 4, self.n_state, dtype=self.dtype, name="mlp_2")(h)
+        return x + h, new_cache
+
+
+class AudioEncoder(nn.Module):
+    dims: WhisperDims
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel, return_layers: bool = False):
+        """mel: (B, frames, n_mels) -> (B, frames//2, n_state).
+
+        return_layers: also return all block outputs (the reference's
+        MuseTalk feature extraction uses per-layer encoder embeddings)."""
+        from .layers import Conv1d
+
+        d = self.dims
+        x = Conv1d(d.n_mels, d.n_audio_state, 3, padding=1, dtype=self.dtype,
+                   name="conv1")(mel)
+        x = jax.nn.gelu(x, approximate=False)
+        x = Conv1d(d.n_audio_state, d.n_audio_state, 3, stride=2, padding=1,
+                   dtype=self.dtype, name="conv2")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        pos = jnp.asarray(_sinusoids(d.n_audio_ctx, d.n_audio_state), x.dtype)
+        x = x + pos[: x.shape[1]]
+        layers = []
+        for i in range(d.n_audio_layer):
+            x, _ = ResidualBlock(d.n_audio_state, d.n_audio_head, dtype=self.dtype,
+                                 name=f"blocks_{i}")(x)
+            layers.append(x)
+        x = WhisperLN(d.n_audio_state, dtype=self.dtype, name="ln_post")(x)
+        if return_layers:
+            return x, jnp.stack(layers, axis=1)  # (B, layers, T, D)
+        return x
+
+
+class TextDecoder(nn.Module):
+    dims: WhisperDims
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, audio_features, positions=None):
+        """tokens: (B, T) int; audio_features: (B, S, D) -> logits (B, T, vocab)."""
+        d = self.dims
+        emb = self.param(
+            "token_embedding_weight",
+            lambda k, s: 0.02 * jax.random.normal(k, s, jnp.float32),
+            (d.n_vocab, d.n_text_state),
+        )
+        pos_emb = self.param(
+            "positional_embedding",
+            lambda k, s: 0.02 * jax.random.normal(k, s, jnp.float32),
+            (d.n_text_ctx, d.n_text_state),
+        )
+        T = tokens.shape[1]
+        if positions is None:
+            x = jnp.take(emb, tokens, axis=0) + pos_emb[:T]
+        else:
+            x = jnp.take(emb, tokens, axis=0) + pos_emb[positions]
+        x = x.astype(self.dtype)
+        mask = jnp.triu(jnp.full((T, T), -jnp.inf), k=1)
+        for i in range(d.n_text_layer):
+            x, _ = ResidualBlock(d.n_text_state, d.n_text_head, cross=True,
+                                 dtype=self.dtype, name=f"blocks_{i}")(
+                x, xa=audio_features, mask=mask)
+        x = WhisperLN(d.n_text_state, dtype=self.dtype, name="ln")(x)
+        return jnp.matmul(x.astype(jnp.float32), emb.T)
+
+
+class Whisper(nn.Module):
+    dims: WhisperDims
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = AudioEncoder(self.dims, dtype=self.dtype)
+        self.decoder = TextDecoder(self.dims, dtype=self.dtype)
+
+    def embed_audio(self, mel, return_layers: bool = False):
+        return self.encoder(mel, return_layers=return_layers)
+
+    def logits(self, tokens, audio_features):
+        return self.decoder(tokens, audio_features)
+
+    def __call__(self, mel, tokens):
+        return self.decoder(tokens, self.encoder(mel))
+
+
+# ---------------------------------------------------------------------------
+# Weight import (OpenAI .pt layout)
+# ---------------------------------------------------------------------------
+
+_WHISPER_RENAMES = [
+    (r"\.mlp\.0\.", r".mlp_0."),
+    (r"\.mlp\.2\.", r".mlp_2."),
+    (r"decoder\.token_embedding\.weight", r"decoder.token_embedding_weight"),
+]
+
+
+def whisper_params_from_state_dict(state_dict) -> dict:
+    from ..compat.torch_import import build_tree
+
+    return {"params": build_tree(state_dict, renames=_WHISPER_RENAMES)}
+
+
+def load_whisper(path: str):
+    """Load an OpenAI whisper .pt → (params, WhisperDims)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    dims = WhisperDims(**{k: v for k, v in ckpt["dims"].items()
+                          if k in WhisperDims.__dataclass_fields__})
+    return whisper_params_from_state_dict(ckpt["model_state_dict"]), dims
+
+
+# ---------------------------------------------------------------------------
+# Greedy transcription (host loop over a jitted full-context decoder)
+# ---------------------------------------------------------------------------
+
+
+def greedy_decode(params, dims: WhisperDims, mel: jax.Array,
+                  sot_sequence: tuple[int, ...] = (50258, 50259, 50359, 50363),
+                  eot: int = 50257, max_len: int = 128, dtype=jnp.float32):
+    """Greedy token decoding; returns (B, ≤max_len) token ids (without SOT)."""
+    model = Whisper(dims, dtype=dtype)
+    audio = model.apply(params, mel, method=Whisper.embed_audio)
+    B = mel.shape[0]
+    tokens = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None], (B, 1))
+    logits_fn = jax.jit(
+        lambda p, t, a: model.apply(p, t, a, method=Whisper.logits))
+    out = []
+    done = np.zeros(B, bool)
+    for _ in range(max_len):
+        logits = logits_fn(params, tokens, audio)
+        nxt = np.asarray(jnp.argmax(logits[:, -1], -1)).astype(np.int32)
+        nxt = np.where(done, eot, nxt)
+        done |= nxt == eot
+        out.append(nxt)
+        if done.all():
+            break
+        tokens = jnp.concatenate([tokens, jnp.asarray(nxt)[:, None]], axis=1)
+    return np.stack(out, axis=1)

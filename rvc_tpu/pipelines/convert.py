@@ -122,8 +122,56 @@ class VoiceConverter:
             )
         return self._resample_cache[out_sr]
 
-    # -- jitted core --------------------------------------------------------
-    def _make_core(self, use_index: bool, use_f0: bool, protect_on: bool):
+    # -- jitted cores ---------------------------------------------------------
+    def _make_core2(self, use_index: bool, use_f0: bool, protect_on: bool,
+                    rms_mix: bool, chunk_len: int):
+        """Fully fused device pipeline: slice chunks out of the uploaded
+        padded waveform, convert, per-chunk RMS mix, global int16 normalize.
+        One upload (the song) + one int16 download per call — on a
+        bandwidth-limited link this is the difference between ~30× and
+        >100× real time."""
+        synth, hubert = self.synth, self.hubert
+        version = self.version
+        core1 = self._make_core_fn(use_index, use_f0, protect_on)
+        L = chunk_len
+        F = L // WINDOW
+        ratio = self.tgt_sr // 100
+
+        def core2(synth_params, hubert_params, bank, audio_pad, starts, lengths,
+                  pitch_full, pitchf_full, sid, index_rate, protect, rms_rate, key):
+            chunks = jax.vmap(
+                lambda st: jax.lax.dynamic_slice(audio_pad, (st,), (L,))
+            )(starts)
+            if use_f0:
+                fstarts = starts // WINDOW
+                pitch = jax.vmap(
+                    lambda st: jax.lax.dynamic_slice(pitch_full, (st,), (F,))
+                )(fstarts)
+                pitchf = jax.vmap(
+                    lambda st: jax.lax.dynamic_slice(pitchf_full, (st,), (F,))
+                )(fstarts)
+            else:
+                pitch = pitchf = jnp.zeros((chunks.shape[0], F))
+            o = core1(synth_params, hubert_params, bank, chunks, lengths,
+                      pitch.astype(jnp.int32) if use_f0 else None,
+                      pitchf if use_f0 else None, sid, index_rate, protect, key)
+            # per-chunk loudness envelope mix (reference change_rms on the
+            # concatenated signal; per-chunk is identical away from the
+            # trimmed pad boundaries)
+            if rms_mix:
+                o = change_rms(chunks, SR, o.astype(jnp.float32), self.tgt_sr, rms_rate)
+            # int16 peak normalization over the valid (untrimmed) samples
+            o = o.astype(jnp.float32)
+            t_idx = jnp.arange(o.shape[1])[None, :]
+            valid_hi = (lengths // WINDOW) * ratio - self.t_pad_tgt
+            mask = (t_idx >= self.t_pad_tgt) & (t_idx < valid_hi[:, None])
+            audio_max = jnp.max(jnp.abs(jnp.where(mask, o, 0.0))) / 0.99
+            o = o * (MAX_INT16 / jnp.maximum(audio_max, 1e-9))
+            return jnp.clip(o, 1 - MAX_INT16, MAX_INT16 - 1).astype(jnp.int16)
+
+        return jax.jit(core2)
+
+    def _make_core_fn(self, use_index: bool, use_f0: bool, protect_on: bool):
         synth, hubert = self.synth, self.hubert
         version = self.version
 
@@ -164,12 +212,18 @@ class VoiceConverter:
                 )
             return o[..., 0]  # (N, T_out)
 
-        return jax.jit(core)
+        return core
 
-    def _core(self, use_index: bool, use_f0: bool, protect_on: bool):
-        k = (use_index, use_f0, protect_on)
+    def _make_core(self, use_index: bool, use_f0: bool, protect_on: bool):
+        """Jitted chunk-batch converter (used by the graft entry / tests)."""
+        return jax.jit(self._make_core_fn(use_index, use_f0, protect_on))
+
+    def _core2(self, use_index: bool, use_f0: bool, protect_on: bool,
+               rms_mix: bool, chunk_len: int):
+        k = (use_index, use_f0, protect_on, rms_mix, chunk_len)
         if k not in self._core_cache:
-            self._core_cache[k] = self._make_core(*k)
+            self._core_cache[k] = self._make_core2(use_index, use_f0, protect_on,
+                                                   rms_mix, chunk_len)
         return self._core_cache[k]
 
     # -- public API ----------------------------------------------------------
@@ -193,11 +247,21 @@ class VoiceConverter:
             opt_ts = find_split_points(audio, self.t_center, self.t_query)
         audio_pad = np.pad(audio, (self.t_pad, self.t_pad), mode="reflect")
 
-        # --- f0 over the whole padded signal, once (reference :154-162)
-        pitch_full = pitchf_full = None
+        # single device upload: the padded waveform, length-bucketed with a
+        # reflect tail so f0/chunk shapes stay stable across songs
+        P = len(audio_pad)
+        Pb = int(np.ceil((P + 1) / 16000) * 16000)
+        tail = Pb - P
+        audio_pad_b = np.pad(audio_pad, (0, tail),
+                             mode="reflect" if tail < P else "constant")
+        audio_dev = jnp.asarray(audio_pad_b)
+
+        # --- f0 over the whole padded signal, once (reference :154-162);
+        # stays on device — the fused core slices it per chunk
+        pitch_dev = pitchf_dev = None
         if self.use_f0:
             coarse, f0 = self.pitch.get_f0(
-                jnp.asarray(audio_pad)[None],
+                audio_dev[None],
                 f0_up_key=s.f0_up_key,
                 method=s.f0_method,
                 merge_type=s.merge_type,
@@ -207,8 +271,9 @@ class VoiceConverter:
                 f0_min=s.f0_min,
                 f0_max=s.f0_max,
             )
-            pitch_full = np.asarray(coarse[0])
-            pitchf_full = np.asarray(f0[0], np.float32)
+            pitch_dev, pitchf_dev = coarse[0], f0[0].astype(jnp.float32)
+        else:
+            pitch_dev = pitchf_dev = jnp.zeros((Pb // WINDOW,), jnp.float32)
 
         # --- chunk spans over audio_pad (reference :167-180)
         spans = []
@@ -217,72 +282,55 @@ class VoiceConverter:
             t = t // WINDOW * WINDOW
             spans.append((start, t + self.t_pad2 + WINDOW))
             start = t
-        spans.append((start, len(audio_pad)))
+        spans.append((start, P))
 
-        # --- bucket + batch
-        lengths = np.array([e - b for b, e in spans], np.int64)
+        lengths = np.array([e - b for b, e in spans], np.int32)
         L = int(np.ceil(lengths.max() / bucket_samples) * bucket_samples)
         N = len(spans)
-        chunks = np.zeros((N, L), np.float32)
-        for i, (b, e) in enumerate(spans):
-            chunks[i, : e - b] = audio_pad[b:e]
-        Fmax = L // WINDOW
-        pitch_b = np.zeros((N, Fmax), np.int32)
-        pitchf_b = np.zeros((N, Fmax), np.float32)
-        if self.use_f0:
-            for i, (b, e) in enumerate(spans):
-                lo, hi = b // WINDOW, e // WINDOW
-                seg_c = pitch_full[lo:hi]
-                seg_f = pitchf_full[lo:hi]
-                pitch_b[i, : len(seg_c)] = seg_c
-                pitchf_b[i, : len(seg_f)] = seg_f
+        starts = np.array([b for b, _ in spans], np.int32)
 
-        # --- one device dispatch
+        # --- one fused device dispatch → int16 chunks
         use_index = self.index_bank is not None and s.index_rate > 0
         protect_on = self.use_f0 and s.protect < 0.5
-        core = self._core(use_index, self.use_f0, protect_on)
+        rms_mix = s.rms_mix_rate < 1
+        core = self._core2(use_index, self.use_f0, protect_on, rms_mix, L)
         bank = self.index_bank if use_index else jnp.zeros((1, 1), jnp.float32)
-        out = core(
+        out16 = core(
             self.synth_params,
             self.hubert_params,
             bank,
-            jnp.asarray(chunks),
+            audio_dev,
+            jnp.asarray(starts),
             jnp.asarray(lengths),
-            jnp.asarray(pitch_b),
-            jnp.asarray(pitchf_b),
+            pitch_dev,
+            pitchf_dev,
             jnp.full((N,), s.sid, jnp.int32),
             jnp.float32(s.index_rate),
             jnp.float32(s.protect),
+            jnp.float32(s.rms_mix_rate),
             jax.random.PRNGKey(0),
         )
-        out = np.asarray(out, np.float32)  # (N, L_out)
+        out16 = np.asarray(out16)  # (N, L_out) int16 — one small download
 
         # --- trim + concat (reference :174,180 — strip t_pad_tgt per side)
-        ratio = self.tgt_sr // 100  # samples per frame at target rate
+        ratio = self.tgt_sr // 100
         pieces = []
-        for i, (b, e) in enumerate(spans):
-            p_len = min(int(lengths[i]) // WINDOW, out.shape[1] // ratio)
-            valid = out[i, : p_len * ratio]
+        for i in range(N):
+            p_len = min(int(lengths[i]) // WINDOW, out16.shape[1] // ratio)
+            valid = out16[i, : p_len * ratio]
             pieces.append(valid[self.t_pad_tgt : len(valid) - self.t_pad_tgt])
         audio_opt = np.concatenate(pieces)
 
-        # --- RMS mix + resample + int16 (reference :183-189)
-        if s.rms_mix_rate < 1:
-            audio_opt = np.asarray(
-                self._jit_change_rms(
-                    jnp.asarray(audio)[None], jnp.asarray(audio_opt)[None],
-                    jnp.float32(s.rms_mix_rate),
-                )[0]
-            )
         out_sr = self.tgt_sr
         if s.resample_sr >= SR and s.resample_sr != self.tgt_sr:
-            audio_opt = np.asarray(
-                self._jit_resample(s.resample_sr)(jnp.asarray(audio_opt)[None])[0]
-            )
+            # rare path: resample the int16 result (reference resamples before
+            # the int16 conversion; linear-phase polyphase commutes with the
+            # scalar normalization up to clipping at the very peak)
+            res = self._jit_resample(s.resample_sr)(
+                jnp.asarray(audio_opt, jnp.float32)[None])[0]
+            audio_opt = np.clip(np.asarray(res), 1 - MAX_INT16,
+                                MAX_INT16 - 1).astype(np.int16)
             out_sr = s.resample_sr
-        audio_max = np.abs(audio_opt).max() / 0.99
-        audio_opt = (audio_opt * MAX_INT16 / max(audio_max, 1.0)).astype(np.int16) \
-            if audio_max > 1 else (audio_opt * MAX_INT16).astype(np.int16)
         return audio_opt, out_sr
 
 

@@ -1,0 +1,191 @@
+"""MuseTalk lip-sync pipeline (reference custom_nodes/musetalk_nodes.py +
+lib/musetalk/).
+
+Stages (reference musetalk_nodes.py:224-290):
+  1. whisper features per video frame (Audio2Feature slicing of 50 Hz
+     encoder embeddings, reference audio2feature.py:14-40),
+  2. face bbox per frame (S3FD), crop + resize 256,
+  3. VAE encode the half-masked crop + the reference crop → (B, 32, 32, 8)
+     latent input, UNet single step at t=0 with PE'd audio features,
+  4. VAE decode → paste back with a face-parsing-feathered mask
+     (reference blending.py:23-59).
+
+All heavy stages are batched device dispatches; OpenCV work stays host-side.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.whisper import (
+    N_FRAMES,
+    Whisper,
+    WhisperDims,
+    log_mel_spectrogram,
+)
+
+
+class Audio2Feature:
+    """Per-video-frame whisper feature windows (reference audio2feature.py)."""
+
+    def __init__(self, params, dims: WhisperDims, dtype=jnp.float32):
+        self.params = params
+        self.dims = dims
+        self.model = Whisper(dims, dtype=dtype)
+        self._embed = jax.jit(
+            lambda p, mel: self.model.apply(p, mel, True, method=Whisper.embed_audio)
+        )
+
+    def audio2feat(self, audio: np.ndarray) -> np.ndarray:
+        """(T,) 16 kHz -> (frames50, 5*layers?, D) whisper embeddings.
+
+        The reference stacks per-chunk encoder embeddings over layers and
+        keeps a 50 Hz grid (2 encoder frames per 20 ms...); here we return
+        (frames, n_layers+1?, D) == reshaped (frames*2, D) per the
+        reference's get_sliced_feature contract (rows of 384)."""
+        T = len(audio)
+        feats = []
+        for start in range(0, T, 30 * 16000):
+            seg = audio[start : start + 30 * 16000]
+            seg = np.pad(seg, (0, 30 * 16000 - len(seg)))
+            mel = log_mel_spectrogram(jnp.asarray(seg, jnp.float32)[None])
+            _, layers = self._embed(self.params, mel)
+            # (1, L, 1500, D) -> (1500, L, D); valid frames = ceil(len/320)
+            emb = np.asarray(layers[0]).transpose(1, 0, 2)
+            n_valid = int(np.ceil(len(audio[start : start + 30 * 16000]) / 320))
+            feats.append(emb[:n_valid])
+        return np.concatenate(feats, axis=0)  # (frames50, L, D)
+
+    @staticmethod
+    def get_sliced_feature(feature_array: np.ndarray, vid_idx: int,
+                           audio_feat_length=(2, 2), fps: float = 25.0):
+        """Window of 2·(l+r+1) 50 Hz feature rows centered on the video frame
+        (reference audio2feature.py:14-40)."""
+        length = len(feature_array)
+        center = int(vid_idx * 50 / fps)
+        left = center - audio_feat_length[0] * 2
+        right = center + (audio_feat_length[1] + 1) * 2
+        rows = []
+        idxs = []
+        for i in range(left, right):
+            i = int(np.clip(i, 0, length - 1))
+            rows.append(feature_array[i])
+            idxs.append(i)
+        out = np.concatenate(rows, axis=0).reshape(-1, feature_array.shape[-1])
+        return out, idxs
+
+    def feature2chunks(self, feature_array: np.ndarray, fps: float,
+                       audio_feat_length=(2, 2)) -> list[np.ndarray]:
+        n_frames = int(len(feature_array) / 50 * fps)
+        return [
+            self.get_sliced_feature(feature_array, i, audio_feat_length, fps)[0]
+            for i in range(n_frames)
+        ]
+
+
+def blend_face(frame: np.ndarray, face: np.ndarray, box: tuple[int, int, int, int],
+               mask: np.ndarray | None = None, expand: float = 1.2) -> np.ndarray:
+    """Paste the generated face back with a feathered mask (reference
+    lib/musetalk/utils/blending.py:23-59). frame/face uint8 RGB; box
+    (x1, y1, x2, y2)."""
+    import cv2
+
+    x1, y1, x2, y2 = box
+    h, w = frame.shape[:2]
+    face_resized = cv2.resize(face, (x2 - x1, y2 - y1))
+    if mask is None:
+        mask = np.ones(face_resized.shape[:2], np.float32)
+    else:
+        mask = cv2.resize(mask.astype(np.float32), (x2 - x1, y2 - y1))
+    ks = max((x2 - x1) // 10 * 2 + 1, 3)
+    mask = cv2.GaussianBlur(mask, (ks, ks), 0)[..., None]
+    out = frame.copy()
+    region = frame[y1:y2, x1:x2].astype(np.float32)
+    out[y1:y2, x1:x2] = (mask * face_resized + (1 - mask) * region).astype(np.uint8)
+    return out
+
+
+@dataclass
+class MuseTalkPipeline:
+    """End-to-end lip sync over a frame sequence."""
+
+    vae_params: Any
+    unet_params: Any
+    whisper: Audio2Feature
+    face_params: Any = None  # S3FD params; None → caller provides boxes
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        from ..models.musetalk.unet import UNet2DCondition, UNetConfig, positional_encoding
+        from ..models.musetalk.vae import AutoencoderKL
+
+        self.vae = AutoencoderKL(dtype=self.dtype)
+        self.unet = UNet2DCondition(UNetConfig(), dtype=self.dtype)
+        self._pe = positional_encoding
+        self._encode = jax.jit(
+            lambda p, x: self.vae.apply(p, x, method=AutoencoderKL.encode))
+        self._decode = jax.jit(
+            lambda p, z: self.vae.apply(p, z, method=AutoencoderKL.decode))
+        self._unet_step = jax.jit(
+            lambda p, lat, feat: self.unet.apply(
+                p, lat, jnp.zeros((lat.shape[0],), jnp.int32), feat))
+
+    def detect_faces(self, frames: list[np.ndarray]) -> list[tuple[int, int, int, int]]:
+        from ..models.musetalk.face import S3FD, decode_s3fd, nms
+
+        model = S3FD(dtype=self.dtype)
+        boxes = []
+        for frame in frames:
+            x = frame.astype(np.float32) - np.array([104.0, 117.0, 123.0])
+            outs = model.apply(self.face_params, jnp.asarray(x[None]))
+            dets = nms(decode_s3fd([np.asarray(o) for o in outs]), 0.3)
+            if len(dets) == 0:
+                boxes.append((0, 0, frame.shape[1], frame.shape[0]))
+            else:
+                s, x1, y1, x2, y2 = dets[0]
+                boxes.append((int(x1), int(y1), int(x2), int(y2)))
+        return boxes
+
+    def process(self, frames: list[np.ndarray], audio: np.ndarray, fps: float = 25.0,
+                boxes: list[tuple[int, int, int, int]] | None = None,
+                batch_size: int = 8) -> list[np.ndarray]:
+        """frames: uint8 RGB; audio: (T,) 16 kHz → lip-synced frames."""
+        import cv2
+
+        from ..models.musetalk.vae import postprocess_image, preprocess_image
+
+        feats50 = self.whisper.audio2feat(audio)
+        # use the last encoder layer rows (reference uses stacked embeddings)
+        feat_rows = feats50[:, -1]  # (frames50, D)
+        chunks = Audio2Feature.get_sliced_feature  # noqa: F841
+        if boxes is None:
+            boxes = self.detect_faces(frames)
+
+        out_frames = []
+        n = min(len(frames), int(len(feat_rows) / 50 * fps))
+        for k in range(0, n, batch_size):
+            group = list(range(k, min(k + batch_size, n)))
+            crops, feats = [], []
+            for i in group:
+                x1, y1, x2, y2 = boxes[i]
+                crop = frames[i][y1:y2, x1:x2]
+                masked = preprocess_image(crop, half_mask=True)
+                ref = preprocess_image(crop, half_mask=False)
+                crops.append((masked, ref))
+                f, _ = Audio2Feature.get_sliced_feature(feat_rows, i, (2, 2), fps)
+                feats.append(f)
+            masked_b = jnp.asarray(np.concatenate([c[0] for c in crops]))
+            ref_b = jnp.asarray(np.concatenate([c[1] for c in crops]))
+            lat_masked = self._encode(self.vae_params, masked_b)
+            lat_ref = self._encode(self.vae_params, ref_b)
+            lat_in = jnp.concatenate([lat_masked, lat_ref], axis=-1)  # (B, 32, 32, 8)
+            audio_feat = self._pe(jnp.asarray(np.stack(feats), jnp.float32))
+            pred = self._unet_step(self.unet_params, lat_in, audio_feat.astype(self.dtype))
+            imgs = postprocess_image(np.asarray(self._decode(self.vae_params, pred)))
+            for j, i in enumerate(group):
+                out_frames.append(blend_face(frames[i], imgs[j], boxes[i]))
+        return out_frames

@@ -52,6 +52,49 @@ def test_rel_abs_skew_roundtrip(rng):
             assert r[0, 0, i, j - i + L - 1] == pytest.approx(a[0, 0, i, j], abs=1e-6)
 
 
+def test_banded_rel_attention_matches_skew(rng):
+    """The banded gather must equal the textbook skew computation."""
+    import jax.numpy as jnp
+    from rvc_tpu.models.attention import MultiHeadAttention, _rel_to_abs, _window_embeddings
+
+    B, H, T, d_k, w = 2, 2, 13, 8, 10
+    mha = MultiHeadAttention(H * d_k, H * d_k, H, window_size=w)
+    x = jnp.asarray(rng.standard_normal((B, T, H * d_k)).astype(np.float32))
+    params = mha.init(jax.random.PRNGKey(0), x, x)
+    out = mha.apply(params, x, x)
+
+    # reference skew path computed manually with the same params
+    import numpy as onp
+
+    p = params["params"]
+
+    def conv1x1(name, inp):
+        wght = onp.asarray(p[name]["weight"])[:, :, 0]
+        return inp @ wght.T + onp.asarray(p[name]["bias"])
+
+    xn = onp.asarray(x)
+    q = conv1x1("conv_q", xn).reshape(B, T, H, d_k).transpose(0, 2, 1, 3)
+    k = conv1x1("conv_k", xn).reshape(B, T, H, d_k).transpose(0, 2, 1, 3)
+    v = conv1x1("conv_v", xn).reshape(B, T, H, d_k).transpose(0, 2, 1, 3)
+    scale = 1 / np.sqrt(d_k)
+    scores = (q * scale) @ k.transpose(0, 1, 3, 2)
+    rel_k = np.asarray(_window_embeddings(jnp.asarray(p["emb_rel_k"]), T, w))
+    rel_logits = np.einsum("bhtd,gmd->bhtm", q * scale, rel_k)
+    scores = scores + np.asarray(_rel_to_abs(jnp.asarray(rel_logits)))
+    attn = np.exp(scores - scores.max(-1, keepdims=True))
+    attn /= attn.sum(-1, keepdims=True)
+    o = attn @ v
+    # value-side relative path
+    from rvc_tpu.models.attention import _abs_to_rel
+
+    rel_w = np.asarray(_abs_to_rel(jnp.asarray(attn)))
+    rel_v = np.asarray(_window_embeddings(jnp.asarray(p["emb_rel_v"]), T, w))
+    o = o + np.einsum("bhtm,gmd->bhtd", rel_w, rel_v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, T, H * d_k)
+    ref = conv1x1("conv_o", o)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
 def test_encoder_shapes_and_mask(rng):
     enc = Encoder(16, 32, 2, 2, 3, 0.0)
     x = jnp.asarray(rng.standard_normal((2, 12, 16)).astype(np.float32))

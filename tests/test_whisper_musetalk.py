@@ -1,0 +1,126 @@
+"""Whisper + MuseTalk component tests (tiny dims, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rvc_tpu.models.whisper import (
+    Whisper,
+    WhisperDims,
+    greedy_decode,
+    log_mel_spectrogram,
+)
+
+TINY_W = WhisperDims(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=32, n_audio_head=2, n_audio_layer=2,
+    n_vocab=100, n_text_ctx=64, n_text_state=32, n_text_head=2, n_text_layer=2,
+)
+
+
+def test_log_mel_shape(rng):
+    x = jnp.asarray((0.1 * rng.standard_normal((1, 16000 * 2))).astype(np.float32))
+    mel = log_mel_spectrogram(x)
+    assert mel.shape == (1, 200, 80)
+    m = np.asarray(mel)
+    assert np.isfinite(m).all()
+    # whisper normalization keeps values in (max-8+4)/4 .. (max+4)/4 ⊂ [-1, ~]
+    assert m.min() >= (m.max() * 4 - 4 - 8 + 4) / 4 - 1e-5
+
+
+def test_whisper_encoder_decoder(rng):
+    model = Whisper(TINY_W)
+    mel = jnp.asarray(rng.standard_normal((1, 100, 80)).astype(np.float32))
+    tokens = jnp.asarray([[1, 2, 3]])
+    params = model.init(jax.random.PRNGKey(0), mel, tokens)
+    logits = model.apply(params, mel, tokens)
+    assert logits.shape == (1, 3, 100)
+    assert np.isfinite(np.asarray(logits)).all()
+    # encoder layers output for MuseTalk features
+    enc, layers = model.apply(params, mel, True, method=Whisper.embed_audio)
+    assert enc.shape == (1, 50, 32)
+    assert layers.shape == (1, 2, 50, 32)
+
+
+def test_whisper_greedy_decode(rng):
+    model = Whisper(TINY_W)
+    mel = jnp.asarray(rng.standard_normal((1, 100, 80)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), mel, jnp.asarray([[1, 2]]))
+    toks = greedy_decode(params, TINY_W, mel, sot_sequence=(1,), eot=0, max_len=8)
+    assert toks.shape[0] == 1 and toks.shape[1] <= 8
+
+
+def test_vae_roundtrip_shapes(rng):
+    from rvc_tpu.models.musetalk.vae import AutoencoderKL, VAEConfig
+
+    cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4)
+    vae = AutoencoderKL(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    params = vae.init(jax.random.PRNGKey(0), x)
+    z = vae.apply(params, x, method=AutoencoderKL.encode)
+    assert z.shape == (1, 16, 16, 4)  # one downsample
+    y = vae.apply(params, z, method=AutoencoderKL.decode)
+    assert y.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_unet_2d_condition(rng):
+    from rvc_tpu.models.musetalk.unet import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig(
+        in_channels=8, out_channels=4, block_out_channels=(8, 16),
+        layers_per_block=1, cross_attention_dim=12, attention_head_dim=2,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        norm_num_groups=4,
+    )
+    unet = UNet2DCondition(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((2, 10, 12)).astype(np.float32))
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx)
+    y = unet.apply(params, x, t, ctx)
+    assert y.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_audio2feature_slicing():
+    from rvc_tpu.pipelines.musetalk import Audio2Feature
+
+    feats = np.arange(100 * 4, dtype=np.float32).reshape(100, 4)
+    window, idxs = Audio2Feature.get_sliced_feature(feats, vid_idx=10, fps=25)
+    assert window.shape == (10, 4)  # 2*(2+2+1) rows
+    assert idxs[0] == 10 * 2 - 4 and idxs[-1] == 10 * 2 + 5
+
+
+def test_blend_face(rng):
+    from rvc_tpu.pipelines.musetalk import blend_face
+
+    frame = np.zeros((64, 64, 3), np.uint8)
+    face = np.full((20, 20, 3), 255, np.uint8)
+    out = blend_face(frame, face, (10, 10, 30, 30))
+    assert out[20, 20].max() > 100  # center pasted
+    assert out[50, 50].max() == 0  # outside untouched
+
+
+def test_bisenet_shapes(rng):
+    from rvc_tpu.models.musetalk.face import BiSeNet
+
+    net = BiSeNet(n_classes=19)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (1, 64, 64, 19)
+
+
+def test_s3fd_shapes_and_decode(rng):
+    from rvc_tpu.models.musetalk.face import S3FD, decode_s3fd, nms
+
+    net = S3FD()
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(params, x)
+    assert len(outs) == 12
+    assert outs[0].shape[1] == 32  # stride 4 map
+    dets = decode_s3fd([np.asarray(o) for o in outs], scale_threshold=0.9)
+    kept = nms(dets)
+    assert kept.ndim == 2 and kept.shape[1] == 5
