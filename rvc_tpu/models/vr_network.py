@@ -65,11 +65,19 @@ class Conv2DBNActivDil(nn.Module):
     nout: int
     ksize: int
     stride: int
-    pad: int
-    dilation: int
+    pad: Any
+    dilation: Any
     separable: bool = False
     activ: str = "relu"
     dtype: Any = jnp.float32
+
+    def _dil(self):
+        d = self.dilation
+        return d if isinstance(d, tuple) else (d, d)
+
+    def _pad(self):
+        p = self.pad
+        return p if isinstance(p, tuple) else (p, p)
 
     @nn.compact
     def __call__(self, x):
@@ -84,8 +92,8 @@ class Conv2DBNActivDil(nn.Module):
             h = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), w.astype(self.dtype),
                 window_strides=(self.stride, self.stride),
-                padding=[(self.pad, self.pad)] * 2,
-                rhs_dilation=(self.dilation, self.dilation),
+                padding=[(self._pad()[0],) * 2, (self._pad()[1],) * 2],
+                rhs_dilation=self._dil(),
                 dimension_numbers=("NHWC", "OIHW", "NHWC"),
                 feature_group_count=self.nin,
             )
@@ -103,8 +111,8 @@ class Conv2DBNActivDil(nn.Module):
             h = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), w.astype(self.dtype),
                 window_strides=(self.stride, self.stride),
-                padding=[(self.pad, self.pad)] * 2,
-                rhs_dilation=(self.dilation, self.dilation),
+                padding=[(self._pad()[0],) * 2, (self._pad()[1],) * 2],
+                rhs_dilation=self._dil(),
                 dimension_numbers=("NHWC", "OIHW", "NHWC"),
             )
             h = BatchNorm(self.nout, dtype=self.dtype, name="conv_1")(h)
@@ -240,4 +248,215 @@ class CascadedASPPNet(nn.Module):
             low = jnp.power(mask[:, :, :sb], 1 + v / 3)
             high = jnp.power(mask[:, :, sb:], 1 + v)
             mask = jnp.concatenate([low, high], axis=2)
+        return mask
+
+
+class LSTMModule(nn.Module):
+    """Frequency-summary BiLSTM branch (reference layers_new.LSTMModule)."""
+
+    nin_conv: int
+    nin_lstm: int
+    nout_lstm: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        from .demucs import BiLSTM as _BiLSTM  # torch-naming LSTM scan
+
+        B, T, F, C = x.shape
+        h = Conv2DBNActiv(self.nin_conv, 1, 1, 1, 0, dtype=self.dtype, name="conv")(x)
+        h = h[..., 0]  # (B, T, F)
+        # reference LSTM is over frames with nbins features
+        from .layers import Linear
+
+        lstm = _OneLayerBiLSTM(self.nin_lstm, self.nout_lstm // 2, dtype=self.dtype,
+                               name="lstm")
+        h = lstm(h)  # (B, T, nout_lstm)
+        h = Linear(self.nout_lstm, self.nin_lstm, dtype=self.dtype, name="dense_0")(h)
+        h = _BatchNorm1dOverFeatures(self.nin_lstm, dtype=self.dtype, name="dense_1")(h)
+        h = jax.nn.relu(h)
+        return h[..., None]  # (B, T, nin_lstm, 1)
+
+
+class _OneLayerBiLSTM(nn.Module):
+    input_size: int
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        def direction(suffix, reverse):
+            bound = 1.0 / np.sqrt(self.hidden)
+            init = lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound)  # noqa: E731
+            w_ih = self.param(f"weight_ih_l0{suffix}", init, (4 * self.hidden, self.input_size))
+            w_hh = self.param(f"weight_hh_l0{suffix}", init, (4 * self.hidden, self.hidden))
+            b_ih = self.param(f"bias_ih_l0{suffix}", init, (4 * self.hidden,))
+            b_hh = self.param(f"bias_hh_l0{suffix}", init, (4 * self.hidden,))
+            xg = jnp.matmul(x.astype(self.dtype), w_ih.T.astype(self.dtype)) + b_ih
+            if reverse:
+                xg = jnp.flip(xg, axis=1)
+            w_hh_t = w_hh.T.astype(self.dtype)
+
+            def step(carry, xt):
+                h, c = carry
+                g = xt + jnp.matmul(h, w_hh_t) + b_hh
+                i, f, gg, o = jnp.split(g, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            B = x.shape[0]
+            h0 = (jnp.zeros((B, self.hidden), self.dtype),
+                  jnp.zeros((B, self.hidden), self.dtype))
+            _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xg, 0, 1))
+            ys = jnp.swapaxes(ys, 0, 1)
+            return jnp.flip(ys, axis=1) if reverse else ys
+
+        return jnp.concatenate([direction("", False), direction("_reverse", True)], -1)
+
+
+class _BatchNorm1dOverFeatures(nn.Module):
+    """Inference BatchNorm1d over the feature axis, torch param names."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda k, s: jnp.ones(s, jnp.float32), (self.features,))
+        b = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (self.features,))
+        mean = self.param("running_mean", lambda k, s: jnp.zeros(s, jnp.float32),
+                          (self.features,))
+        var = self.param("running_var", lambda k, s: jnp.ones(s, jnp.float32),
+                         (self.features,))
+        scale = w * jax.lax.rsqrt(var + 1e-5)
+        return (x.astype(jnp.float32) * scale + (b - mean * scale)).astype(self.dtype)
+
+
+class EncoderNew(nn.Module):
+    """layers_new.Encoder: stride conv first, then refine conv."""
+
+    nin: int
+    nout: int
+    stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv2DBNActiv(self.nin, self.nout, 3, self.stride, 1, activ="leaky",
+                          dtype=self.dtype, name="conv1")(x)
+        return Conv2DBNActiv(self.nout, self.nout, 3, 1, 1, activ="leaky",
+                             dtype=self.dtype, name="conv2")(h)
+
+
+class BaseNet(nn.Module):
+    """VR 'new' U-net with dilated ASPP + LSTM branch (reference
+    nets_new.BaseNet)."""
+
+    nin: int
+    nout: int
+    nin_lstm: int
+    nout_lstm: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.nout
+        e1 = Conv2DBNActiv(self.nin, n, 3, 1, 1, dtype=self.dtype, name="enc1")(x)
+        e2 = EncoderNew(n, n * 2, dtype=self.dtype, name="enc2")(e1)
+        e3 = EncoderNew(n * 2, n * 4, dtype=self.dtype, name="enc3")(e2)
+        e4 = EncoderNew(n * 4, n * 6, dtype=self.dtype, name="enc4")(e3)
+        e5 = EncoderNew(n * 6, n * 8, dtype=self.dtype, name="enc5")(e4)
+        h = ASPPModuleNew(n * 8, n * 8, ((4, 2), (8, 4), (12, 6)), dtype=self.dtype,
+                          name="aspp")(e5)
+        h = DecoderVR(n * (6 + 8), n * 6, dtype=self.dtype, name="dec4")(h, e4)
+        h = DecoderVR(n * (4 + 6), n * 4, dtype=self.dtype, name="dec3")(h, e3)
+        h = DecoderVR(n * (2 + 4), n * 2, dtype=self.dtype, name="dec2")(h, e2)
+        lstm_out = LSTMModule(n * 2, self.nin_lstm, self.nout_lstm, dtype=self.dtype,
+                              name="lstm_dec2")(h)
+        # lstm branch outputs (B, T, nin_lstm, 1); frequency dims match h's F
+        f = min(h.shape[2], lstm_out.shape[2])
+        h = jnp.concatenate([h[:, :, :f], lstm_out[:, : h.shape[1], :f]], axis=-1)
+        h = DecoderVR(n * (1 + 2) + 1, n, dtype=self.dtype, name="dec1")(h, e1)
+        return h
+
+
+class ASPPModuleNew(nn.Module):
+    """nets_new ASPP: anisotropic dilations, non-separable convs."""
+
+    nin: int
+    nout: int
+    dilations: Sequence[tuple] = ((4, 2), (8, 4), (12, 6))
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pooled = x.mean(axis=2, keepdims=True)
+        feat1 = Conv2DBNActiv(self.nin, self.nout, 1, 1, 0, dtype=self.dtype,
+                              name="conv1_1")(pooled)
+        feat1 = jnp.broadcast_to(feat1, (*x.shape[:3], self.nout))
+        feat2 = Conv2DBNActiv(self.nin, self.nout, 1, 1, 0, dtype=self.dtype,
+                              name="conv2")(x)
+        feats = [feat1, feat2]
+        for i, d in enumerate(self.dilations):
+            # reference dilations are (freq, time); our spatial dims are (T, F)
+            dil = (d[1], d[0])
+            feats.append(
+                Conv2DBNActivDil(self.nin, self.nout, 3, 1, dil, dil,
+                                 dtype=self.dtype, name=f"conv{i + 3}")(x)
+            )
+        return Conv2DBNActiv(self.nout * 5, self.nout, 1, 1, 0, dtype=self.dtype,
+                             name="bottleneck")(jnp.concatenate(feats, axis=-1))
+
+
+class CascadedNet(nn.Module):
+    """VR 'new' cascade (reference nets_new.CascadedNet) — the DeEcho /
+    DeReverb model family. Input (B, T, bins, 2); returns the sigmoid mask.
+    offset = 64 frames."""
+
+    n_fft: int
+    nout: int = 32
+    nout_lstm: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        max_bin = self.n_fft // 2
+        output_bin = self.n_fft // 2 + 1
+        nin_lstm = max_bin // 2
+        nout = self.nout
+        x = x[:, :, :max_bin]
+        bandw = x.shape[2] // 2
+        l1_in, h1_in = x[:, :, :bandw], x[:, :, bandw:]
+        l1 = BaseNet(2, nout // 2, nin_lstm // 2, self.nout_lstm, dtype=self.dtype,
+                     name="stg1_low_band_net_0")(l1_in)
+        l1 = Conv2DBNActiv(nout // 2, nout // 4, 1, 1, 0, dtype=self.dtype,
+                           name="stg1_low_band_net_1")(l1)
+        h1 = BaseNet(2, nout // 4, nin_lstm // 2, self.nout_lstm // 2,
+                     dtype=self.dtype, name="stg1_high_band_net")(h1_in)
+        aux1 = jnp.concatenate([l1, h1], axis=2)
+        l2_in = jnp.concatenate([l1_in, l1], axis=-1)
+        h2_in = jnp.concatenate([h1_in, h1], axis=-1)
+        l2 = BaseNet(nout // 4 + 2, nout, nin_lstm // 2, self.nout_lstm,
+                     dtype=self.dtype, name="stg2_low_band_net_0")(l2_in)
+        l2 = Conv2DBNActiv(nout, nout // 2, 1, 1, 0, dtype=self.dtype,
+                           name="stg2_low_band_net_1")(l2)
+        h2 = BaseNet(nout // 4 + 2, nout // 2, nin_lstm // 2, self.nout_lstm // 2,
+                     dtype=self.dtype, name="stg2_high_band_net")(h2_in)
+        aux2 = jnp.concatenate([l2, h2], axis=2)
+        f3_in = jnp.concatenate([x, aux1, aux2], axis=-1)
+        f3 = BaseNet(3 * nout // 4 + 2, nout, nin_lstm, self.nout_lstm,
+                     dtype=self.dtype, name="stg3_full_band_net")(f3_in)
+        mask = jax.nn.sigmoid(
+            Conv2dTorch(nout, 2, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="out")(f3)
+        )
+        pad_f = output_bin - mask.shape[2]
+        if pad_f > 0:
+            mask = jnp.concatenate(
+                [mask, jnp.repeat(mask[:, :, -1:], pad_f, axis=2)], axis=2)
         return mask

@@ -183,12 +183,18 @@ class VoiceConverter:
             )
             feats0 = feats
             if use_index:
-                from ..retrieval.index import _topk_blend
+                if jax.default_backend() != "cpu":
+                    # streaming Pallas kernel: O(T·D) memory, bank stays tiled
+                    from ..ops.pallas_retrieval import blend_into as _pallas_blend
 
-                bank_sq = jnp.sum(bank * bank, axis=-1)
-                retrieved = _topk_blend(feats.astype(jnp.float32), bank, bank_sq, 1)
-                feats = (index_rate * retrieved + (1.0 - index_rate) *
-                         feats.astype(jnp.float32)).astype(feats.dtype)
+                    feats = _pallas_blend(feats, bank, index_rate).astype(feats.dtype)
+                else:
+                    from ..retrieval.index import _topk_blend
+
+                    bank_sq = jnp.sum(bank * bank, axis=-1)
+                    retrieved = _topk_blend(feats.astype(jnp.float32), bank, bank_sq, 1)
+                    feats = (index_rate * retrieved + (1.0 - index_rate) *
+                             feats.astype(jnp.float32)).astype(feats.dtype)
             # 2x nearest upsample 50 Hz -> 100 Hz (reference :77)
             feats = jnp.repeat(feats, 2, axis=1)
             p_len_feats = feats.shape[1]

@@ -25,7 +25,8 @@ def _topk_blend(feats: jax.Array, bank: jax.Array, bank_sq: jax.Array, k: int) -
     """feats (B, T, D) queries vs bank (N, D): return the 1/d²-weighted
     blend of the k nearest bank rows for every frame."""
     # squared L2 distance via the matmul identity (MXU): |q|² - 2q·b + |b|²
-    dots = jnp.einsum("btd,nd->btn", feats, bank)  # the big matmul
+    dots = jnp.einsum("btd,nd->btn", feats, bank,
+                      precision=jax.lax.Precision.HIGHEST)  # argmin needs fp32
     q_sq = jnp.sum(feats * feats, axis=-1, keepdims=True)
     d2 = q_sq - 2.0 * dots + bank_sq[None, None, :]
     neg_d2, idx = jax.lax.top_k(-d2, k)  # (B, T, k)
