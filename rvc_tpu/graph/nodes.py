@@ -409,11 +409,18 @@ def _load_separator(kind: str, model_path: str, agg: float):
             raise NotImplementedError(
                 "MDX ONNX weight extraction requires the onnx converter; "
                 "construct MDXSeparator directly with converted params")
+        import jax
         import torch
 
         sd = torch.load(model_path, map_location="cpu", weights_only=False)
         params = {"params": build_tree(sd)}
-        _CACHE[key] = VRSeparator(params, ModelParameters(preset="4band_v2"), agg=agg)
+        mp = ModelParameters(preset="4band_v2")
+        if jax.default_backend() != "cpu":
+            from ..pipelines.vr_fused import FusedVRSeparator
+
+            _CACHE[key] = FusedVRSeparator(params, mp, agg=agg)
+        else:
+            _CACHE[key] = VRSeparator(params, mp, agg=agg)
     sep = _CACHE[key]
     sep.agg = agg
     return sep

@@ -219,3 +219,81 @@ def autotune_f0(f0: np.ndarray, threshold: float = 0.0) -> np.ndarray:
     nearest = AUTOTUNE_NOTES[idx].astype(np.float32)
     keep = np.take_along_axis(diff, idx[..., None], axis=-1)[..., 0] < threshold
     return np.where(keep, f0, nearest)
+
+
+class AudioProcessor:
+    """Click/silence cleaner (reference lib/audio.py:33-113): optional RMS
+    silence gate, dynamic click thresholding with median/interp repair, and
+    peak normalization. Hash-stable __str__ for node caching."""
+
+    def __init__(self, normalize=True, threshold_silence=True, dynamic_threshold=True,
+                 sample_size=16000, multiplier=2.0, fill_method="median",
+                 kernel_size=5, silence_threshold_db=-50, normalize_threshold_db=-1):
+        self.normalize = normalize
+        self.threshold_silence = threshold_silence
+        self.dynamic_threshold = dynamic_threshold
+        self.sample_size = sample_size
+        self.multiplier = multiplier
+        self.fill_method = fill_method
+        self.kernel_size = kernel_size
+        self.silence_threshold_db = silence_threshold_db
+        self.normalize_threshold_db = normalize_threshold_db
+
+    def __str__(self) -> str:
+        from ..utils import get_hash
+
+        values = [self.normalize, self.threshold_silence, self.dynamic_threshold]
+        if self.normalize:
+            values.append(self.normalize_threshold_db)
+        if self.threshold_silence:
+            values.append(self.silence_threshold_db)
+        if self.dynamic_threshold:
+            values.extend([self.sample_size, self.multiplier, self.fill_method,
+                           self.kernel_size])
+        return get_hash(*values)
+
+    def __call__(self, audio) -> tuple[np.ndarray, int]:
+        samples, sr = audio if isinstance(audio, tuple) else (audio, 44100)
+        samples = np.asarray(samples, np.float32)
+        if self.threshold_silence:
+            from ..ops.karafan_utils import silent
+
+            samples = np.squeeze(
+                silent(np.atleast_2d(samples), sr, self.silence_threshold_db), 0)
+        if self.dynamic_threshold:
+            samples = self.dynamic_thresholding(
+                samples, self.multiplier, self.sample_size, self.fill_method,
+                self.kernel_size)
+        if self.normalize:
+            from ..ops.karafan_utils import normalize as _norm
+
+            samples = _norm(samples, self.normalize_threshold_db)
+        return samples, sr
+
+    @staticmethod
+    def dynamic_thresholding(samples, multiplier=2.0, sample_size=16000,
+                             method="median", kernel_size=5):
+        from scipy.ndimage import uniform_filter1d
+
+        local_rms = np.sqrt(uniform_filter1d(np.square(samples), size=int(sample_size)))
+        clicks = np.abs(samples) > multiplier * local_rms
+        return AudioProcessor.replace_clicks(samples, clicks, method, kernel_size)
+
+    @staticmethod
+    def replace_clicks(samples, clicks, method="median", kernel_size=5):
+        from scipy.ndimage import median_filter
+        from scipy.interpolate import interp1d
+
+        cleaned = samples.copy()
+        if method == "median":
+            cleaned[clicks] = median_filter(samples, size=kernel_size)[clicks]
+        elif method == "interpolation":
+            good = np.where(~clicks)[0]
+            bad = np.where(clicks)[0]
+            if len(good) > 1 and len(bad):
+                f = interp1d(good, cleaned[good], kind="linear", bounds_error=False,
+                             fill_value="extrapolate")
+                cleaned[bad] = f(bad)
+        else:
+            raise ValueError("Method must be 'median' or 'interpolation'")
+        return cleaned

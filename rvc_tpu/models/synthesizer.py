@@ -245,6 +245,26 @@ class Synthesizer(nn.Module):
             o = self.dec(z_slice, g=g)
         return o, ids_slice, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q)
 
+    def infer_mix(self, phone, phone_lengths, pitch=None, nsff0=None,
+                  spk_mix=None, noise_scale: float = 0.66666):
+        """Speaker-mixture inference (reference ONNX path
+        SynthesizerTrnMsNSFsidM, models_onnx.py:530-628): ``spk_mix`` is a
+        (B, n_spk) weight map blended over the speaker embedding table."""
+        # weighted sum over the embedding table
+        weights = spk_mix / jnp.maximum(jnp.sum(spk_mix, -1, keepdims=True), 1e-9)
+        table = self.emb_g(jnp.arange(self.spk_embed_dim))  # (n_spk, gin)
+        g = jnp.matmul(weights.astype(table.dtype), table)[:, None, :]
+        m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths)
+        key = self.make_rng("noise")
+        eps = jax.random.normal(key, m_p.shape, m_p.dtype)
+        z_p = (m_p + jnp.exp(logs_p) * eps * noise_scale) * x_mask
+        z = self.flow(z_p, x_mask, g=g, reverse=True)
+        if self.use_f0:
+            o = self.dec(z * x_mask, nsff0, g=g)
+        else:
+            o = self.dec(z * x_mask, g=g)
+        return o, x_mask, (z, z_p, m_p, logs_p)
+
     def infer(self, phone, phone_lengths, pitch=None, nsff0=None, sid=None,
               noise_scale: float = 0.66666):
         """Inference (reference models.py:798-809): sample the prior, invert

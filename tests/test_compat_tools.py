@@ -1,0 +1,125 @@
+"""Checkpoint tools, speaker-mix inference, StableHLO export, AudioProcessor."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_models import TINY
+
+
+def _mk_params(net, seed):
+    return net.init(
+        {"params": jax.random.PRNGKey(seed), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 24)), jnp.array([8]), jnp.ones((1, 8), jnp.int32),
+        jnp.full((1, 8), 150.0), jnp.array([0]), method=net.infer,
+    )
+
+
+CFG = [129, 16, 16, 16, 32, 2, 2, 3, 0.0, "1", [3, 5], [[1, 3], [1, 3]],
+       [10, 4, 2, 2], 32, [16, 8, 4, 4], 4, 8, 16000]
+
+
+def test_process_ckpt_merge_and_info(tmp_path):
+    from rvc_tpu.compat import process_ckpt as PC
+    from rvc_tpu.compat.torch_export import save_rvc_checkpoint
+    from rvc_tpu.compat.torch_import import load_rvc_checkpoint
+    from rvc_tpu.models.synthesizer import Synthesizer
+
+    net = Synthesizer(**TINY)
+    a, b = str(tmp_path / "a.pth"), str(tmp_path / "b.pth")
+    save_rvc_checkpoint(a, _mk_params(net, 0), CFG, sr=16000, version="v2")
+    save_rvc_checkpoint(b, _mk_params(net, 9), CFG, sr=16000, version="v2")
+    assert "16000" in PC.show_info(a)
+    m = str(tmp_path / "m.pth")
+    assert PC.merge(a, b, 0.5, 16000, 1, "blend", m, "v2") == "Success."
+    params, meta = load_rvc_checkpoint(m)
+    assert meta["sr"] == 16000 and meta["version"] == "v2"
+    assert PC.change_info(m, "tag", str(tmp_path / "m2.pth")) == "Success."
+
+
+def test_infer_mix(rng):
+    from rvc_tpu.models.synthesizer import Synthesizer
+
+    net = Synthesizer(**TINY)
+    params = _mk_params(net, 0)
+    phone = jnp.asarray(rng.standard_normal((1, 8, 24)).astype(np.float32))
+    mix = jnp.asarray([[0.5, 0.5, 0.0, 0.0]])
+    o, _, _ = net.apply(
+        params, phone, jnp.array([8]), jnp.ones((1, 8), jnp.int32),
+        jnp.full((1, 8), 150.0), mix, method=net.infer_mix,
+        rngs={"noise": jax.random.PRNGKey(2)},
+    )
+    assert o.shape == (1, 8 * 160, 1)
+    assert np.isfinite(np.asarray(o)).all()
+    # pure one-speaker mix ≈ plain infer with that sid
+    one = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    om, _, _ = net.apply(params, phone, jnp.array([8]), jnp.ones((1, 8), jnp.int32),
+                         jnp.full((1, 8), 150.0), one, method=net.infer_mix,
+                         rngs={"noise": jax.random.PRNGKey(2)})
+    oi, _, _ = net.apply(params, phone, jnp.array([8]), jnp.ones((1, 8), jnp.int32),
+                         jnp.full((1, 8), 150.0), jnp.array([0]), method=net.infer,
+                         rngs={"noise": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(om), np.asarray(oi), atol=1e-4)
+
+
+def test_stablehlo_export_roundtrip(rng):
+    from rvc_tpu.compat.export import export_infer, load_exported
+    from rvc_tpu.models.synthesizer import Synthesizer
+
+    net = Synthesizer(**TINY)
+    params = _mk_params(net, 0)
+    blob = export_infer(net, params, 24, max_frames=8)
+    fn = load_exported(blob)
+    out = fn(jnp.zeros((1, 8, 24)), jnp.array([8], jnp.int32),
+             jnp.ones((1, 8), jnp.int32), jnp.full((1, 8), 150.0),
+             jnp.array([0], jnp.int32), jnp.zeros((2,), jnp.uint32))
+    assert np.asarray(out).shape == (1, 8 * 160)
+
+
+def test_audio_processor(rng):
+    from rvc_tpu.io.audio import AudioProcessor
+
+    x = (0.2 * np.sin(2 * np.pi * 440 * np.arange(44100) / 44100)).astype(np.float32)
+    x[1000] = 5.0
+    out, sr = AudioProcessor()((x, 44100))
+    assert abs(out[1000]) < 1.0  # click repaired
+    assert sr == 44100
+    assert str(AudioProcessor()) == str(AudioProcessor())
+    out2, _ = AudioProcessor(fill_method="interpolation")((x, 44100))
+    assert abs(out2[1000]) < 1.0
+
+
+def test_onnx_initializer_parser(tmp_path, rng):
+    """Round-trip a synthetic ONNX protobuf through the raw-wire parser."""
+    import struct
+
+    from rvc_tpu.compat.onnx_import import read_onnx_initializers
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def field(num, wire, payload):
+        key = varint((num << 3) | wire)
+        if wire == 2:
+            return key + varint(len(payload)) + payload
+        return key + payload
+
+    arr = rng.standard_normal((2, 3)).astype(np.float32)
+    tensor = (
+        field(1, 0, varint(2)) + field(1, 0, varint(3))  # dims
+        + field(2, 0, varint(1))  # float32
+        + field(8, 2, b"w1")  # name
+        + field(9, 2, arr.tobytes())  # raw_data
+    )
+    graph = field(5, 2, tensor)
+    model = field(7, 2, graph)
+    p = tmp_path / "m.onnx"
+    p.write_bytes(model)
+    out = read_onnx_initializers(str(p))
+    assert "w1" in out
+    np.testing.assert_array_equal(out["w1"], arr)

@@ -110,3 +110,39 @@ def test_routing():
     assert route_separator("UVR-MDX-NET-vocal.onnx") == "mdx"
     assert route_separator("UVR-DeEcho-DeReverb.pth") == "vr_new"
     assert route_separator("HP5-vocals.pth") == "vr"
+
+
+def test_fused_vr_matches_host_path(rng):
+    """The fully-fused device VR chain must reproduce the host band chain."""
+    import copy
+
+    from rvc_tpu.pipelines.vr_fused import FusedVRSeparator
+
+    mp = B.ModelParameters()
+    mp.param = {
+        "bins": 128, "unstable_bins": 4, "reduction_bins": 120, "sr": 8000,
+        "pre_filter_start": 120, "pre_filter_stop": 128,
+        "band": {
+            1: {"sr": 2000, "hl": 32, "n_fft": 128, "crop_start": 0,
+                "crop_stop": 40, "lpf_start": 20, "lpf_stop": 40,
+                "res_type": "polyphase"},
+            2: {"sr": 8000, "hl": 128, "n_fft": 256, "crop_start": 8,
+                "crop_stop": 96, "hpf_start": 20, "hpf_stop": 8,
+                "res_type": "polyphase"},
+        },
+        "mid_side": False, "mid_side_b": False, "mid_side_b2": False,
+        "stereo_w": False, "stereo_n": False, "reverse": False,
+    }
+    net = CascadedASPPNet(mp.param["bins"] * 2)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 512, mp.param["bins"] + 1, 2)))
+    audio = (0.3 * rng.standard_normal(8000 * 3)).astype(np.float32)
+    host = VRSeparator(params, copy.deepcopy(mp), agg=10)
+    fused = FusedVRSeparator(params, copy.deepcopy(mp), agg=10)
+    oh = host.run_inference(audio, 8000)
+    of = fused.run_inference(audio, 8000)
+    vh = oh["vocals"][0].astype(np.float32)
+    vf = of["vocals"][0].astype(np.float32)
+    n = min(len(vh), len(vf))
+    corr = np.corrcoef(vh[:n], vf[:n])[0, 1]
+    assert corr > 0.999, corr
