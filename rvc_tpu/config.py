@@ -93,6 +93,9 @@ class TrainConfig:
     c_tsi: float = 0.0
     c_hd: float = 0.0
     c_tefs: float = 0.0
+    # WGAN-GP style gradient penalty on the discriminator (reference
+    # losses.gradient_norm_loss, enabled via c_gp; 0 disables).
+    c_gp: float = 0.0
 
 
 @dataclass(frozen=True)

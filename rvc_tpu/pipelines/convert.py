@@ -84,9 +84,15 @@ class VoiceConverter:
         index_bank: np.ndarray | None = None,
         config: RVCConfig | None = None,
         dtype: Any = jnp.float32,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — the chunk
+        batch shards across chips (one song's chunks, or many songs' chunks,
+        converted in parallel over ICI). Params replicate; XLA partitions
+        the fused core."""
         self.config = config or RVCConfig()
         self.dtype = dtype
+        self.mesh = mesh
         self.synth = Synthesizer(**{**synth_kwargs, "dtype": dtype})
         self.synth_params = synth_params
         self.version = "v1" if synth_kwargs.get("feature_dim", 768) == 256 else "v2"
@@ -292,8 +298,16 @@ class VoiceConverter:
 
         lengths = np.array([e - b for b, e in spans], np.int32)
         L = int(np.ceil(lengths.max() / bucket_samples) * bucket_samples)
-        N = len(spans)
+        N_real = len(spans)
         starts = np.array([b for b, _ in spans], np.int32)
+        # dp sharding: pad the chunk batch to a multiple of the mesh size
+        # (duplicate chunks — their outputs are simply dropped)
+        n_dp = self.mesh.shape["dp"] if self.mesh is not None else 1
+        if N_real % n_dp:
+            pad_n = n_dp - N_real % n_dp
+            starts = np.concatenate([starts, np.repeat(starts[-1:], pad_n)])
+            lengths = np.concatenate([lengths, np.repeat(lengths[-1:], pad_n)])
+        N = len(starts)
 
         # --- one fused device dispatch → int16 chunks
         use_index = self.index_bank is not None and s.index_rate > 0
@@ -301,22 +315,34 @@ class VoiceConverter:
         rms_mix = s.rms_mix_rate < 1
         core = self._core2(use_index, self.use_f0, protect_on, rms_mix, L)
         bank = self.index_bank if use_index else jnp.zeros((1, 1), jnp.float32)
+        starts_d = jnp.asarray(starts)
+        lengths_d = jnp.asarray(lengths)
+        sid_d = jnp.full((N,), s.sid, jnp.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = NamedSharding(self.mesh, P("dp"))
+            starts_d = jax.device_put(starts_d, dp)
+            lengths_d = jax.device_put(lengths_d, dp)
+            sid_d = jax.device_put(sid_d, dp)
         out16 = core(
             self.synth_params,
             self.hubert_params,
             bank,
             audio_dev,
-            jnp.asarray(starts),
-            jnp.asarray(lengths),
+            starts_d,
+            lengths_d,
             pitch_dev,
             pitchf_dev,
-            jnp.full((N,), s.sid, jnp.int32),
+            sid_d,
             jnp.float32(s.index_rate),
             jnp.float32(s.protect),
             jnp.float32(s.rms_mix_rate),
             jax.random.PRNGKey(0),
         )
-        out16 = np.asarray(out16)  # (N, L_out) int16 — one small download
+        out16 = np.asarray(out16)[:N_real]  # (N, L_out) int16 — one download
+        lengths = lengths[:N_real]
+        N = N_real
 
         # --- trim + concat (reference :174,180 — strip t_pad_tgt per side)
         ratio = self.tgt_sr // 100

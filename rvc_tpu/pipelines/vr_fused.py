@@ -207,7 +207,17 @@ class FusedVRSeparator:
 
             inst = synth(y_r, y_i)
             voc = synth(v_r, v_i)
-            return inst, voc
+            # downmix + int16 on device (reference returns mono int16 stems
+            # via remix_audio(..., to_int16=True, axis=0)); 4× smaller
+            # download over the bandwidth-limited link
+
+            def to_i16(w):
+                mono = jnp.median(w, axis=0)
+                peak = jnp.maximum(jnp.max(jnp.abs(mono)) / 0.95, 1.0)
+                out = jnp.clip(mono / peak * 32768.0, 1 - 32768, 32767)
+                return out.astype(jnp.int16)
+
+            return to_i16(inst), to_i16(voc)
 
         return jax.jit(run)
 
@@ -232,7 +242,7 @@ class FusedVRSeparator:
         voc = np.asarray(voc)[..., :T]
         return {
             "sr": p["sr"],
-            "instrumentals": remix_audio((inst, p["sr"]), to_int16=True, axis=0),
-            "vocals": remix_audio((voc, p["sr"]), to_int16=True, axis=0),
+            "instrumentals": (inst, p["sr"]),
+            "vocals": (voc, p["sr"]),
             "input_audio": (wave, p["sr"]),
         }

@@ -184,6 +184,7 @@ class PitchExtractor:
         self.crepe_tiny_params = crepe_tiny_params
         self.dtype = dtype
         self._rmvpe_jit = None
+        self._get_f0_cache: dict = {}
         self.methods: dict[str, Callable] = {
             "pm": self._pm,
             "dio": self._dio,
@@ -251,6 +252,54 @@ class PitchExtractor:
             f0 = f0[..., lo] * (1 - w) + f0[..., hi] * w
         return f0
 
+    # -- fused-dispatch plumbing ---------------------------------------------
+    def _method_params(self, method: str):
+        if method in ("rmvpe", "rmvpe+"):
+            return self.rmvpe_params
+        if method in ("crepe", "mangio-crepe"):
+            return self.crepe_params
+        if method in ("crepe-tiny", "mangio-crepe-tiny"):
+            return self.crepe_tiny_params
+        return {}
+
+    def _build_method_fn(self, method: str, f0_min, f0_max, filter_radius,
+                         crepe_hop_length):
+        """A (params, audio) -> f0 function with weights as arguments."""
+        if method in ("rmvpe", "rmvpe+"):
+            from ..models.rmvpe import RMVPE
+
+            model = RMVPE(dtype=self.dtype)
+
+            def fn(params, a):
+                f0 = model.apply(params, a, 0.03)
+                if method == "rmvpe+":
+                    f0 = jnp.clip(f0, f0_min, f0_max)
+                return f0
+
+            return fn
+        if method.endswith("crepe") or method.endswith("crepe-tiny"):
+            capacity = "tiny" if method.endswith("tiny") else "full"
+            mangio = method.startswith("mangio")
+
+            def fn(params, a):
+                old_full, old_tiny = self.crepe_params, self.crepe_tiny_params
+                try:
+                    if capacity == "full":
+                        self.crepe_params = params
+                    else:
+                        self.crepe_tiny_params = params
+                    return self._crepe(a, f0_min, f0_max, capacity=capacity,
+                                       mangio=mangio,
+                                       crepe_hop_length=crepe_hop_length)
+                finally:
+                    self.crepe_params, self.crepe_tiny_params = old_full, old_tiny
+
+            return fn
+        impl = self.methods[method]
+        return lambda params, a: impl(a, f0_min, f0_max,
+                                      filter_radius=filter_radius,
+                                      crepe_hop_length=crepe_hop_length)
+
     # -- public API ---------------------------------------------------------
     def compute(
         self,
@@ -286,7 +335,30 @@ class PitchExtractor:
         f0_max: float = 1100.0,
     ) -> tuple[jax.Array, jax.Array]:
         """Returns (coarse int bins, f0 Hz) like the reference get_f0
-        (pitch_extraction.py:250-304)."""
+        (pitch_extraction.py:250-304). Single-method calls run the whole
+        chain (model → autotune → shift → quantize) as ONE jitted dispatch
+        keyed by (method, flags) — a dozen eager dispatches otherwise."""
+        if isinstance(method, str):
+            # ONE jitted dispatch for the whole chain. Model weights must be
+            # jit ARGUMENTS (closure capture would embed them as constants —
+            # a 100 MB compile payload the remote-compile relay rejects).
+            key = (method, bool(f0_autotune), filter_radius, crepe_hop_length,
+                   float(f0_min), float(f0_max))
+            method_params = self._method_params(method)
+            if key not in self._get_f0_cache:
+                method_fn = self._build_method_fn(
+                    method, f0_min, f0_max, filter_radius, crepe_hop_length)
+
+                def full(params, a, up_key):
+                    f0 = method_fn(params, a)
+                    if f0_autotune:
+                        f0 = autotune(f0)
+                    f0 = shift_semitones(f0, up_key)
+                    return coarse_f0(f0, f0_min, f0_max), f0
+
+                self._get_f0_cache[key] = jax.jit(full)
+            return self._get_f0_cache[key](method_params, audio,
+                                           jnp.float32(f0_up_key))
         f0 = self.compute(
             audio, method, merge_type, f0_min, f0_max,
             filter_radius=filter_radius, crepe_hop_length=crepe_hop_length,

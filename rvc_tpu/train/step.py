@@ -122,7 +122,7 @@ class Trainer:
         g_initial = jnp.asarray(
             [1.0, 1.0, t.c_mel, t.c_kl, t.c_hd, t.c_tsi, t.c_tefs], jnp.float32
         )
-        d_initial = jnp.asarray([1.0, 0.0], jnp.float32)
+        d_initial = jnp.asarray([1.0, 1.0 if t.c_gp > 0 else 0.0], jnp.float32)
 
         def g_forward(params_g, batch, noise_key):
             return synth.apply(
@@ -161,7 +161,26 @@ class Trainer:
             def d_loss_fn(params_d, bstate):
                 y_d_r, y_d_g, _, _ = disc.apply(params_d, wave_seg, fake)
                 loss_disc, _ = L.discriminator_loss(y_d_r, y_d_g)
-                losses_vec = jnp.stack([loss_disc, jnp.float32(0.0)])
+                if t.c_gp > 0:
+                    # gradient penalty on a random real/fake interpolation
+                    # (reference losses.gradient_norm_loss :401-426)
+                    k_alpha = jax.random.fold_in(key, 1)
+                    alpha = jax.random.uniform(k_alpha, (wave_seg.shape[0], 1, 1))
+                    interp = alpha * wave_seg + (1.0 - alpha) * fake
+
+                    def d_out(x):
+                        r, g_, _, _ = disc.apply(params_d, wave_seg, x)
+                        ld, _ = L.discriminator_loss(r, g_)
+                        return ld
+
+                    grads_x = jax.grad(d_out)(interp)
+                    gnorm = jnp.sqrt(
+                        jnp.sum(jnp.square(grads_x.reshape(grads_x.shape[0], -1)),
+                                axis=-1) + 1e-12)
+                    gp = jnp.mean((gnorm - 1.0) ** 2) * t.c_gp
+                else:
+                    gp = jnp.float32(0.0)
+                losses_vec = jnp.stack([loss_disc, gp])
                 total, new_b, _ = bal.balance(bstate, losses_vec, d_initial,
                                               active=balancer_active)
                 return total, (loss_disc, new_b)

@@ -127,3 +127,18 @@ def test_convert_no_f0_path():
                         config=RVCConfig(x_pad=1, x_query=2, x_center=4, x_max=5))
     out, sr = vc.convert(_test_signal(1.0), settings=ConvertSettings(index_rate=0.0))
     assert np.abs(out).max() > 0
+
+
+def test_convert_dp_sharded():
+    """Chunk batch sharded over an 8-device dp mesh matches output duration."""
+    import jax
+    from rvc_tpu.parallel.mesh import make_mesh
+
+    vc = tiny_converter()
+    vc.mesh = make_mesh(8)
+    x = _test_signal(11.0)  # chunks at x_center=4s → 3 chunks → pad to 8
+    with vc.mesh:
+        out, sr = vc.convert(x, settings=ConvertSettings(f0_method="pm", index_rate=0.0))
+    assert sr == 16000
+    assert abs(len(out) - len(x)) <= 16000 // 100 * 3
+    assert np.abs(out).max() > 0

@@ -108,3 +108,17 @@ def test_train_step_runs_and_descends():
 
 def test_dryrun_multichip():
     run_dryrun(4)
+
+
+def test_train_step_with_gradient_penalty():
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, c_gp=1.0))
+    trainer = Trainer(cfg)
+    object.__setattr__(trainer.synth, "feature_dim", 16)
+    batch = make_tiny_batch(2)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = trainer.step_fn()(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_disc_all"]))
+    assert float(metrics["grad_norm_d"]) > 0
