@@ -123,3 +123,55 @@ def test_onnx_initializer_parser(tmp_path, rng):
     out = read_onnx_initializers(str(p))
     assert "w1" in out
     np.testing.assert_array_equal(out["w1"], arr)
+
+
+def test_parity_harness(rng, tmp_path):
+    from rvc_tpu.bench.parity import compare_wavs, mel_distance_db
+    from rvc_tpu.io.audio import save_input_audio
+
+    t = np.arange(16000) / 16000
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    assert mel_distance_db(x, x, 16000) < 1e-6
+    y = x * 0.5  # pure gain → scale-aligned → ~0 distance
+    assert mel_distance_db(x, y, 16000) < 1e-4
+    z = (0.5 * np.sin(2 * np.pi * 550 * t)).astype(np.float32)
+    assert mel_distance_db(x, z, 16000) > 1.0
+    a, b = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    save_input_audio(a, (x, 16000))
+    save_input_audio(b, (x, 16000))
+    out = compare_wavs(a, b)
+    assert out["mel_distance_db"] < 0.01
+    assert out["sdr_db"] > 40
+
+
+def test_torch_adam_state_import():
+    """Round-trip torch Adam moments into an optax.adamw state."""
+    import optax
+    import torch
+
+    from rvc_tpu.compat.optimizer_import import torch_adam_to_optax
+
+    # a tiny torch "model" with the same names our tree uses
+    tm = torch.nn.Module()
+    tm.lin = torch.nn.Linear(4, 3)
+    opt = torch.optim.AdamW(tm.parameters(), lr=1e-3)
+    loss = tm.lin(torch.randn(2, 4)).sum()
+    loss.backward()
+    opt.step()
+    ckpt = {"model": tm.state_dict(), "optimizer": opt.state_dict(),
+            "iteration": 7}
+
+    params = {"params": {"lin": {
+        "weight": np.zeros((3, 4), np.float32),
+        "bias": np.zeros((3,), np.float32),
+    }}}
+    tx = optax.adamw(1e-3)
+    state = tx.init(params["params"])
+    new_state, it = torch_adam_to_optax(ckpt, params, state)
+    assert it == 7
+    adam = [p for p in new_state if hasattr(p, "mu")][0]
+    mu_w = np.asarray(adam.mu["lin"]["weight"])
+    ref = tm.state_dict()["lin.weight"]
+    torch_mu = opt.state_dict()["state"][0]["exp_avg"].numpy()
+    np.testing.assert_allclose(mu_w, torch_mu, atol=1e-7)
+    assert int(adam.count) == 1
