@@ -244,3 +244,40 @@ def load_crepe(path: str):
     import torch
 
     return crepe_params_from_state_dict(torch.load(path, map_location="cpu", weights_only=False))
+
+
+# ---------------------------------------------------------------------------
+# UVR5 VR networks (CascadedASPPNet / CascadedNet)
+# ---------------------------------------------------------------------------
+
+_VR_RENAMES = [
+    # separable depthwise conv is a flat leaf param in our module
+    (r"aspp\.conv([3456])\.conv\.0\.weight", r"aspp.conv\1.conv_0_weight"),
+    (r"\.conv\.(\d+)\.", r".conv_\1."),  # Conv2DBNActiv sequential
+    (r"conv1\.1\.conv_", r"conv1_1.conv_"),  # ASPP pooled branch
+    (r"\.bottleneck\.0\.conv_", r".bottleneck_0.conv_"),
+    (r"\.bottleneck\.conv_", r".bottleneck.conv_"),
+    # CascadedNet (nets_new) extras
+    (r"stg(\d)_low_band_net\.(\d)\.", r"stg\1_low_band_net_\2."),
+    (r"\.conv1\.(\d+)\.", r".conv1_\1."),
+    (r"\.conv2\.(\d+)\.", r".conv2_\1."),
+    (r"\.lstm_dec2\.dense\.(\d+)\.", r".lstm_dec2.dense_\1."),
+]
+
+
+def vr_params_from_state_dict(state_dict) -> dict:
+    """VR nets: besides name mapping, conv kernels must be spatially
+    transposed — torch's spatial layout is (bins, frames) while ours is
+    (frames, bins) (time-major like the rest of the framework)."""
+    tree = build_tree(state_dict, renames=_VR_RENAMES,
+                      skip=(r"num_batches_tracked", r"aux\d?_out", r"^aux_out"))
+
+    def transpose_convs(node):
+        if isinstance(node, dict):
+            return {k: transpose_convs(v) for k, v in node.items()}
+        arr = np.asarray(node)
+        if arr.ndim == 4:  # (O, I, kh, kw) → swap spatial dims
+            return np.ascontiguousarray(arr.transpose(0, 1, 3, 2))
+        return arr
+
+    return {"params": transpose_convs(tree)}

@@ -412,8 +412,10 @@ def _load_separator(kind: str, model_path: str, agg: float):
         import jax
         import torch
 
+        from ..compat.torch_import import vr_params_from_state_dict
+
         sd = torch.load(model_path, map_location="cpu", weights_only=False)
-        params = {"params": build_tree(sd)}
+        params = vr_params_from_state_dict(sd)
         mp = ModelParameters(preset="4band_v2")
         if jax.default_backend() != "cpu":
             from ..pipelines.vr_fused import FusedVRSeparator

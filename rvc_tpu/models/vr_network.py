@@ -20,10 +20,32 @@ import flax.linen as nn
 from .layers import BatchNorm, Conv2dTorch
 
 
+def _interp_axis_align(x: jax.Array, axis: int, out_len: int) -> jax.Array:
+    """1-D linear interpolation with torch align_corners=True semantics."""
+    n = x.shape[axis]
+    if n == 1:
+        reps = [1] * x.ndim
+        reps[axis] = out_len
+        return jnp.tile(x, reps)
+    pos = jnp.arange(out_len) * ((n - 1) / (out_len - 1))
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
+    w = (pos - lo).astype(x.dtype)
+    xl = jnp.take(x, lo, axis=axis)
+    xh = jnp.take(x, hi, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_len
+    w = w.reshape(shape)
+    return xl * (1 - w) + xh * w
+
+
 def _bilinear_2x(x: jax.Array) -> jax.Array:
-    """2× bilinear upsample (align_corners=True) over (B, H, W, C)."""
+    """2× bilinear upsample matching torch F.interpolate(scale_factor=2,
+    mode='bilinear', align_corners=True) over (B, H, W, C). (jax.image
+    .resize is half-pixel / align_corners=False — systematically offset.)"""
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+    x = _interp_axis_align(x, 1, 2 * H)
+    return _interp_axis_align(x, 2, 2 * W)
 
 
 def _bilinear_resize(x: jax.Array, h: int, w: int) -> jax.Array:

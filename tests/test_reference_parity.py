@@ -143,3 +143,110 @@ def test_rmvpe_mel_frontend_matches_reference(rng):
     ref = np.log(np.clip(mel, 1e-5, None))
     assert mine.shape == ref.shape
     np.testing.assert_allclose(mine, ref, atol=2e-3)
+
+
+def test_discriminator_matches_reference(ref_models, rng):
+    """MultiPeriodDiscriminatorV2 logits + feature maps vs reference."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from rvc_tpu.compat.torch_import import build_tree
+    from rvc_tpu.models.discriminator import MultiPeriodDiscriminator
+
+    torch.manual_seed(0)
+    ref = ref_models.MultiPeriodDiscriminatorV2(use_spectral_norm=False).eval()
+    B, T = 1, 4000
+    y = rng.standard_normal((B, 1, T)).astype(np.float32) * 0.3
+    yh = rng.standard_normal((B, 1, T)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        rs_ref, gs_ref, frs_ref, _ = ref(torch.from_numpy(y), torch.from_numpy(yh))
+
+    params = {"params": build_tree(ref.state_dict())}
+    mine = MultiPeriodDiscriminator(version="v2")
+    rs, gs, frs, _ = mine.apply(
+        params, jnp.asarray(y.transpose(0, 2, 1)), jnp.asarray(yh.transpose(0, 2, 1)))
+    assert len(rs) == len(rs_ref) == 9
+    for a, b in zip(rs, rs_ref):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=2e-4)
+    # spot-check a couple of feature maps (layouts differ: ours NHWC/NWC)
+    f_mine = np.asarray(frs[0][0])  # DiscriminatorS first conv (B, T, C)
+    f_ref = frs_ref[0][0].numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(f_mine, f_ref, atol=2e-4)
+
+
+def test_training_forward_matches_reference(ref_models, rng, monkeypatch):
+    """The full training graph (enc_p + enc_q + flow fwd + slice + NSF
+    decode) vs the reference forward, stochastic parts pinned."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from rvc_tpu.compat.torch_import import build_tree
+    from rvc_tpu.models import layers as layers_mod
+    from rvc_tpu.models import nsf as nsf_mod
+    from rvc_tpu.models.synthesizer import Synthesizer
+
+    torch.manual_seed(0)
+    ref = ref_models.SynthesizerTrnMs768NSFsid(**CFG, is_half=False).eval()
+
+    B, T = 1, 24
+    phone = rng.standard_normal((B, T, 768)).astype(np.float32)
+    pitch = rng.integers(1, 255, (B, T))
+    pitchf = rng.uniform(100, 300, (B, T)).astype(np.float32)
+    spec = rng.standard_normal((B, T, CFG["spec_channels"])).astype(np.float32)
+
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    monkeypatch.setattr(torch, "rand", lambda *s, **k: torch.zeros(*s, **k))
+    with torch.no_grad():
+        o_ref, ids_ref, _, _, (z_r, zp_r, mp_r, lp_r, mq_r, lq_r) = ref(
+            torch.from_numpy(phone), torch.LongTensor([T]),
+            torch.from_numpy(pitch).long(), torch.from_numpy(pitchf),
+            torch.from_numpy(spec.transpose(0, 2, 1)), torch.LongTensor([T]),
+            torch.LongTensor([2]),
+        )
+
+    # pin our stochastic parts the same way
+    orig_sine = nsf_mod.sine_source
+
+    def quiet_sine(f0, upp, sr_, key, harmonic_num=0, sine_amp=0.1,
+                   noise_std=0.003, voiced_threshold=0.0):
+        return orig_sine(f0, upp, sr_, jax.random.PRNGKey(0), harmonic_num,
+                         sine_amp, 0.0, voiced_threshold)
+
+    monkeypatch.setattr(nsf_mod, "sine_source", quiet_sine)
+    import jax.random as jrandom
+
+    monkeypatch.setattr(jrandom, "normal",
+                        lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype))
+
+    def zero_slice(key, x, lengths, seg):
+        starts = jnp.zeros((x.shape[0],), jnp.int32)
+        return layers_mod.slice_segments(x, starts, seg), starts
+
+    monkeypatch.setattr(layers_mod, "rand_slice_segments", zero_slice)
+    import rvc_tpu.models.synthesizer as synth_mod
+
+    monkeypatch.setattr(synth_mod, "rand_slice_segments", zero_slice)
+
+    mine = Synthesizer(
+        **{**CFG,
+           "resblock_kernel_sizes": tuple(CFG["resblock_kernel_sizes"]),
+           "resblock_dilation_sizes": tuple(map(tuple, CFG["resblock_dilation_sizes"])),
+           "upsample_rates": tuple(CFG["upsample_rates"]),
+           "upsample_kernel_sizes": tuple(CFG["upsample_kernel_sizes"])},
+        feature_dim=768, use_f0=True,
+    )
+    params = {"params": build_tree(ref.state_dict())}  # incl. enc_q
+    o, ids, xm, ym, (z, z_p, m_p, logs_p, m_q, logs_q) = mine.apply(
+        params, jnp.asarray(phone), jnp.asarray([T]), jnp.asarray(pitch),
+        jnp.asarray(pitchf), jnp.asarray(spec), jnp.asarray([T]),
+        jnp.asarray([2]), rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(np.asarray(z).transpose(0, 2, 1), z_r.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z_p).transpose(0, 2, 1), zp_r.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(m_q).transpose(0, 2, 1), mq_r.numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(o)[:, :, 0], o_ref[:, 0].numpy(), atol=5e-3)

@@ -1,0 +1,235 @@
+"""Reference-parity for separation + pitch models: run the actual reference
+torch implementations (librosa stubbed with our own filterbank — same
+published formula) with shared random weights and compare outputs."""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_LIB = "/root/reference/lib"
+
+
+@pytest.fixture(scope="module")
+def ref_path():
+    # stub librosa (reference modules import it at module level; only the
+    # mel filterbank function is used by the models we exercise here)
+    if "librosa" not in sys.modules:
+        import numpy as _np
+
+        from rvc_tpu.ops.mel import _mel_filterbank_np
+
+        librosa = types.ModuleType("librosa")
+        filters = types.ModuleType("librosa.filters")
+
+        def mel(sr, n_fft, n_mels=128, fmin=0.0, fmax=None, htk=False, **kw):
+            return _np.ascontiguousarray(
+                _mel_filterbank_np(sr, n_fft, n_mels, float(fmin),
+                                   None if fmax is None else float(fmax), htk=htk).T)
+
+        filters.mel = mel
+        librosa.filters = filters
+        util = types.ModuleType("librosa.util")
+
+        def pad_center(data, size, **kw):
+            n = size - len(data)
+            lpad = n // 2
+            return _np.pad(data, (lpad, n - lpad))
+
+        util.pad_center = pad_center
+        util.tiny = lambda x: _np.finfo(_np.float32).tiny
+        util.normalize = lambda x, **kw: x / (_np.abs(x).max() or 1.0)
+        librosa.util = util
+        sys.modules["librosa"] = librosa
+        sys.modules["librosa.filters"] = filters
+        sys.modules["librosa.util"] = util
+    if "soundfile" not in sys.modules:
+        sys.modules["soundfile"] = types.ModuleType("soundfile")
+    if REF_LIB not in sys.path:
+        sys.path.insert(0, REF_LIB)
+    return REF_LIB
+
+
+def _load_module(name: str, path: str):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_tfc_tdf_net_matches_reference(ref_path, rng):
+    """MDX23C TFC-TDF U-net vs reference karafan/tfc_tdf.py."""
+    import torch
+    from types import SimpleNamespace as NS
+
+    import jax
+    import jax.numpy as jnp
+
+    TFC_TDF_net = _load_module(
+        "ref_tfc_tdf", f"{ref_path}/karafan/tfc_tdf.py").TFC_TDF_net
+
+    from rvc_tpu.compat.torch_import import build_tree
+    from rvc_tpu.models.mdx_net import TFCTDFNet
+
+    config = NS(
+        model=NS(norm="InstanceNorm", act="gelu", num_subbands=2, num_scales=2,
+                 scale=[2, 2], num_blocks_per_scale=1, num_channels=8, growth=8,
+                 bottleneck_factor=2),
+        training=NS(target_instrument=None, instruments=["vocals", "other"]),
+        audio=NS(num_channels=2, dim_f=64, n_fft=128, hop_length=32),
+    )
+    torch.manual_seed(0)
+    ref = TFC_TDF_net(config).eval()
+
+    B, T, F = 1, 8, 64
+    dim_c = 2 * 2  # channels*2 (complex-as-channels)
+    spec = rng.standard_normal((B, T, F, dim_c)).astype(np.float32)
+
+    # reference forward operates wave->wave; drive its core: cac2cws etc.
+    # feed the packed spec directly through the net's inner ops
+    x_t = torch.from_numpy(spec.transpose(0, 3, 2, 1))  # (B, C, F, T)
+    with torch.no_grad():
+        mix = x = ref.cac2cws(x_t)
+        first_conv_out = x = ref.first_conv(x)
+        x = x.transpose(-1, -2)
+        enc_outs = []
+        for block in ref.encoder_blocks:
+            x = block.tfc_tdf(x)
+            enc_outs.append(x)
+            x = block.downscale(x)
+        x = ref.bottleneck_block(x)
+        for block in ref.decoder_blocks:
+            x = block.upscale(x)
+            x = torch.cat([x, enc_outs.pop()], 1)
+            x = block.tfc_tdf(x)
+        x = x.transpose(-1, -2)
+        x = x * first_conv_out
+        x = ref.final_conv(torch.cat([mix, x], 1))
+        x = ref.cws2cac(x)
+        o_ref = x.numpy()  # (B, n_targets*dim_c? ...) reshaped below
+    o_ref = o_ref.reshape(B, 2, dim_c, F, T).transpose(0, 1, 4, 3, 2)
+
+    renames = [
+        (r"encoder_blocks\.(\d+)\.tfc_tdf", r"encoder_blocks_\1_tfc_tdf"),
+        (r"decoder_blocks\.(\d+)\.tfc_tdf", r"decoder_blocks_\1_tfc_tdf"),
+        (r"encoder_blocks\.(\d+)\.downscale\.conv\.(\d+)", r"encoder_blocks_\1_downscale_\2"),
+        (r"decoder_blocks\.(\d+)\.upscale\.conv\.(\d+)", r"decoder_blocks_\1_upscale_\2"),
+        (r"blocks\.(\d+)\.tfc1\.(\d+)", r"blocks_\1_tfc1_\2"),
+        (r"blocks\.(\d+)\.tfc2\.(\d+)", r"blocks_\1_tfc2_\2"),
+        (r"blocks\.(\d+)\.tdf\.(\d+)", r"blocks_\1_tdf_\2"),
+        (r"blocks\.(\d+)\.shortcut", r"blocks_\1_shortcut"),
+        (r"final_conv\.(\d+)", r"final_conv_\1"),
+    ]
+    params = {"params": build_tree(ref.state_dict(), renames=renames)}
+    mine = TFCTDFNet(num_targets=2, num_subbands=2, num_channels_audio=2,
+                     num_scales=2, scale=(2, 2), num_blocks_per_scale=1,
+                     c=8, g=8, bn=2, dim_f=64, norm="InstanceNorm", act="gelu")
+    o_mine = np.asarray(mine.apply(params, jnp.asarray(spec)))
+    assert o_mine.shape == o_ref.shape
+    np.testing.assert_allclose(o_mine, o_ref, atol=2e-4)
+
+
+def test_cascaded_asppnet_matches_reference(ref_path, rng):
+    """VR CascadedASPPNet mask vs reference uvr5_pack/vr_network/nets.py."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from uvr5_pack.vr_network.nets import CascadedASPPNet as RefNet
+
+    from rvc_tpu.models.vr_network import CascadedASPPNet
+
+    n_fft = 64
+    torch.manual_seed(0)
+    ref = RefNet(n_fft).eval()
+    B, T = 1, 512  # bins = n_fft//2
+    mag = rng.uniform(0, 1, (B, 2, n_fft // 2 + 1, T)).astype(np.float32)
+    with torch.no_grad():
+        pred = ref(torch.from_numpy(mag))  # mask * mix
+    o_ref = pred.numpy()
+
+    from rvc_tpu.compat.torch_import import vr_params_from_state_dict
+
+    params = vr_params_from_state_dict(ref.state_dict())
+    mine = CascadedASPPNet(n_fft)
+    x = jnp.asarray(mag.transpose(0, 3, 2, 1))  # (B, T, bins, 2)
+    mask = np.asarray(mine.apply(params, x))
+    o_mine = (mask * mag.transpose(0, 3, 2, 1)).transpose(0, 3, 2, 1)
+    assert o_mine.shape == o_ref.shape
+    np.testing.assert_allclose(o_mine, o_ref, atol=2e-4)
+
+
+def test_rmvpe_e2e_matches_reference(ref_path, rng):
+    """RMVPE salience network vs reference lib/rmvpe.py E2E."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    ref_rmvpe = _load_module("ref_rmvpe", f"{ref_path}/rmvpe.py")
+
+    from rvc_tpu.compat.torch_import import rmvpe_params_from_state_dict
+    from rvc_tpu.models.rmvpe import E2E
+
+    torch.manual_seed(0)
+    ref = ref_rmvpe.E2E(4, 1, (2, 2)).eval()
+    B, T = 1, 32
+    mel = rng.standard_normal((B, 128, T)).astype(np.float32)  # (B, mels, T)
+    with torch.no_grad():
+        hidden_ref = ref(torch.from_numpy(mel)).numpy()  # (B, T, 360)
+
+    params = rmvpe_params_from_state_dict(ref.state_dict())
+    mine = E2E()
+    hidden = np.asarray(mine.apply({"params": params["params"]["model"]},
+                                   jnp.asarray(mel.transpose(0, 2, 1))))
+    assert hidden.shape == hidden_ref.shape
+    np.testing.assert_allclose(hidden, hidden_ref, atol=5e-4)
+
+
+def test_cascaded_net_matches_reference(ref_path, rng):
+    """VR 'new' CascadedNet (DeEcho family) vs reference nets_new.py."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from uvr5_pack.vr_network.nets_new import CascadedNet as RefNet
+
+    from rvc_tpu.compat.torch_import import build_tree, vr_params_from_state_dict
+    from rvc_tpu.models.vr_network import CascadedNet
+
+    n_fft, nout, nout_lstm = 64, 8, 16
+    torch.manual_seed(0)
+    ref = RefNet(n_fft, nout=nout, nout_lstm=nout_lstm).eval()
+    B, T = 1, 128
+    mag = rng.uniform(0, 1, (B, 2, n_fft // 2 + 1, T)).astype(np.float32)
+    with torch.no_grad():
+        mask_ref = ref(torch.from_numpy(mag)).numpy()
+
+    import re
+
+    import numpy as _np
+
+    from rvc_tpu.compat.torch_import import _VR_RENAMES
+
+    renames = [(r"\.dec(\d)\.conv1\.", r".dec\1.conv.")] + list(_VR_RENAMES)
+    tree = build_tree(ref.state_dict(), renames=renames,
+                      skip=(r"num_batches_tracked", r"aux_out"))
+
+    def transpose_convs(node):
+        if isinstance(node, dict):
+            return {k: transpose_convs(v) for k, v in node.items()}
+        arr = _np.asarray(node)
+        if arr.ndim == 4:
+            return _np.ascontiguousarray(arr.transpose(0, 1, 3, 2))
+        return arr
+
+    params = {"params": transpose_convs(tree)}
+    mine = CascadedNet(n_fft, nout=nout, nout_lstm=nout_lstm)
+    x = jnp.asarray(mag.transpose(0, 3, 2, 1))
+    mask = np.asarray(mine.apply(params, x)).transpose(0, 3, 2, 1)
+    assert mask.shape == mask_ref.shape
+    np.testing.assert_allclose(mask, mask_ref, atol=5e-4)
