@@ -40,11 +40,19 @@ def ref_path():
         util.tiny = lambda x: _np.finfo(_np.float32).tiny
         util.normalize = lambda x, **kw: x / (_np.abs(x).max() or 1.0)
         librosa.util = util
+        import importlib.machinery as _im
+
+        for mod in (librosa, filters, util):
+            mod.__spec__ = _im.ModuleSpec(mod.__name__, loader=None)
         sys.modules["librosa"] = librosa
         sys.modules["librosa.filters"] = filters
         sys.modules["librosa.util"] = util
     if "soundfile" not in sys.modules:
-        sys.modules["soundfile"] = types.ModuleType("soundfile")
+        import importlib.machinery as _im
+
+        sf = types.ModuleType("soundfile")
+        sf.__spec__ = _im.ModuleSpec("soundfile", loader=None)
+        sys.modules["soundfile"] = sf
     if REF_LIB not in sys.path:
         sys.path.insert(0, REF_LIB)
     return REF_LIB
@@ -233,3 +241,50 @@ def test_cascaded_net_matches_reference(ref_path, rng):
     mask = np.asarray(mine.apply(params, x)).transpose(0, 3, 2, 1)
     assert mask.shape == mask_ref.shape
     np.testing.assert_allclose(mask, mask_ref, atol=5e-4)
+
+
+def test_whisper_matches_reference(ref_path, rng):
+    """Flax Whisper vs the reference's vendored (modified) OpenAI whisper."""
+    import importlib.machinery
+    import types as _types
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    def stub(name):
+        m = _types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules.setdefault(name, m)
+
+    for name in ("tiktoken", "numba", "ffmpeg", "more_itertools"):
+        stub(name)
+    wpath = "/root/reference/lib/musetalk/whisper"
+    if wpath not in sys.path:
+        sys.path.insert(0, wpath)
+    import whisper.model as WM
+
+    from rvc_tpu.models.whisper import Whisper, WhisperDims, whisper_params_from_state_dict
+
+    dims_kw = dict(n_mels=80, n_audio_ctx=100, n_audio_state=32, n_audio_head=2,
+                   n_audio_layer=2, n_vocab=100, n_text_ctx=24, n_text_state=32,
+                   n_text_head=2, n_text_layer=2)
+    torch.manual_seed(0)
+    ref = WM.Whisper(WM.ModelDimensions(**dims_kw)).eval()
+
+    mel = rng.standard_normal((1, 80, 200)).astype(np.float32)
+    tokens = rng.integers(0, 100, (1, 5))
+    with torch.no_grad():
+        enc_ref = ref.encoder(torch.from_numpy(mel)).numpy()
+        logits_ref = ref.decoder(torch.from_numpy(tokens).long(),
+                                 torch.from_numpy(enc_ref)).numpy()
+
+    params = whisper_params_from_state_dict(ref.state_dict())
+    mine = Whisper(WhisperDims(**dims_kw))
+    enc = mine.apply(params, jnp.asarray(mel.transpose(0, 2, 1)),
+                     method=Whisper.embed_audio)
+    np.testing.assert_allclose(np.asarray(enc), enc_ref, atol=2e-4)
+    logits = mine.apply(params, jnp.asarray(tokens), jnp.asarray(enc_ref),
+                        method=Whisper.logits)
+    np.testing.assert_allclose(np.asarray(logits), logits_ref, atol=2e-4)
