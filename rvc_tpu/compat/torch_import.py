@@ -232,6 +232,131 @@ def load_rmvpe(path: str):
 
 
 # ---------------------------------------------------------------------------
+# Demucs v3/v4 hybrid (.th packages: {klass, args, kwargs, state})
+# ---------------------------------------------------------------------------
+
+_DEMUCS_RENAMES = [
+    # ScaledEmbedding wrapper flattens to the Embedding weight
+    (r"freq_emb\.embedding\.", r"freq_emb."),
+    # DConv BLSTM: our FramedBLSTM nests a BiLSTM named `blstm` whose lstm
+    # params are flat leaves (lstm_weight_ih_l0, ...)
+    (r"(dconv\.layers\.\d+\.3)\.lstm\.(weight|bias)_(ih|hh)_l(\d+)(_reverse)?",
+     r"\1.blstm.lstm_\2_\3_l\4\5"),
+    (r"(dconv\.layers\.\d+\.3)\.linear\.", r"\1.blstm.linear."),
+]
+
+
+def demucs_v4_params_from_state_dict(state_dict: Mapping[str, object]) -> dict:
+    """Hybrid (HT)Demucs torch state_dict → flax params for
+    models/htdemucs.py. Pure renaming: every layer keeps torch layout."""
+    tree = build_tree(state_dict, renames=_DEMUCS_RENAMES,
+                      skip=(r"num_batches_tracked",))
+    return {"params": tree}
+
+
+def _install_demucs_stubs() -> None:
+    """Register stub `demucs.*` modules so unpickling a reference .th
+    package (which pickles the model class object) works without the
+    torch demucs package installed (reference demucs/states.py:37-67)."""
+    import sys
+    import types
+    import importlib.machinery
+
+    names = ["demucs", "demucs.htdemucs", "demucs.hdemucs", "demucs.demucs",
+             "demucs.transformer", "demucs.apply", "demucs.states"]
+    for name in names:
+        _install_stub_module(name)
+
+
+def _install_stub_module(name: str) -> None:
+    import sys
+    import types
+    import importlib.machinery
+
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None,
+                                                  is_package=True)
+    mod.__path__ = []  # behave as a (empty) package for submodule imports
+
+    def _getattr(attr, _m=name, _mod=mod):
+        if attr.startswith("__"):
+            raise AttributeError(attr)
+        # cache so repeated lookups return the same class object
+        # (keeps a loaded package re-picklable)
+        kls = type(attr, (), {"__module__": _m, "__qualname__": attr})
+        setattr(_mod, attr, kls)
+        return kls
+
+    mod.__getattr__ = _getattr  # type: ignore[method-assign]
+    sys.modules[name] = mod
+
+
+def load_demucs_v4(path: str):
+    """Load a demucs v3/v4 ``.th`` package → (flax_params, meta).
+
+    meta: {"klass": class-name str, "kwargs": constructor kwargs,
+    "sources", "samplerate", "segment"} — enough to instantiate
+    models.htdemucs.HTDemucs / HDemucs.
+    """
+    import torch
+
+    _install_demucs_stubs()
+    # checkpoints pickle the model class object; stub whatever module path
+    # the pickle references (demucs.*, or a vendored prefix) and retry
+    for _ in range(8):
+        try:
+            pkg = torch.load(path, map_location="cpu", weights_only=False)
+            break
+        except ModuleNotFoundError as e:
+            parts = (e.name or "").split(".")
+            if not parts or not parts[0]:
+                raise
+            for i in range(len(parts)):
+                _install_stub_module(".".join(parts[: i + 1]))
+    else:
+        raise RuntimeError(f"could not unpickle {path}")
+    if "state" not in pkg:
+        # raw state_dict fallback
+        return demucs_v4_params_from_state_dict(pkg), {}
+    state = pkg["state"]
+    if isinstance(state, dict) and state.get("__quantized"):
+        raise NotImplementedError("diffq-quantized demucs checkpoints")
+    kwargs = dict(pkg.get("kwargs", {}))
+    args = list(pkg.get("args", ()))
+    if args and "sources" not in kwargs:
+        kwargs["sources"] = args[0]
+    meta = {
+        "klass": getattr(pkg.get("klass"), "__name__", "HTDemucs"),
+        "kwargs": kwargs,
+        "sources": tuple(kwargs.get("sources", ())),
+        "samplerate": kwargs.get("samplerate", 44100),
+        "segment": float(kwargs.get("segment", 10.0)),
+    }
+    state = {k: _to_np(v) for k, v in state.items()}
+    return demucs_v4_params_from_state_dict(state), meta
+
+
+def htdemucs_kwargs_from_meta(meta: dict) -> dict:
+    """Filter reference constructor kwargs down to the fields our flax
+    modules expose (training-only options like t_cape_* are dropped)."""
+    from ..models.htdemucs import HDemucs, HTDemucs
+
+    klass = HTDemucs if meta.get("klass", "HTDemucs") == "HTDemucs" else HDemucs
+    fields = set(klass.__dataclass_fields__)
+    out = {}
+    for k, v in meta.get("kwargs", {}).items():
+        if k in fields:
+            out[k] = tuple(v) if isinstance(v, list) else v
+    if "sources" in out:
+        out["sources"] = tuple(out["sources"])
+    if "segment" in out:
+        out["segment"] = float(out["segment"])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # CREPE (torchcrepe layout: conv1..conv6, conv1_BN.., classifier)
 # ---------------------------------------------------------------------------
 

@@ -296,6 +296,54 @@ class ConvTranspose2dTorch(nn.Module):
         return y
 
 
+class GroupNorm(nn.Module):
+    """torch.nn.GroupNorm semantics on channels-last input (B, *spatial, C):
+    per-sample, per-group normalization over (C/G, *spatial), affine params
+    named weight/bias like torch."""
+
+    num_groups: int
+    channels: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("weight", lambda k, s: jnp.ones(s, jnp.float32), (self.channels,))
+        b = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (self.channels,))
+        G = self.num_groups
+        B = x.shape[0]
+        spatial = x.shape[1:-1]
+        C = x.shape[-1]
+        xf = x.astype(jnp.float32).reshape(B, *spatial, G, C // G)
+        # normalize over all spatial axes + the within-group channel axis
+        axes = tuple(range(1, 1 + len(spatial))) + (x.ndim,)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y.reshape(x.shape)
+        return (y * w + b).astype(self.dtype)
+
+
+class TorchLayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis with torch param names
+    (weight/bias) — used by modules whose reference counterparts are plain
+    torch.nn.LayerNorm (demucs transformer, whisper, ...)."""
+
+    channels: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("weight", lambda k, s: jnp.ones(s, jnp.float32), (self.channels,))
+        b = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32), (self.channels,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * w + b).astype(self.dtype)
+
+
 class BatchNorm(nn.Module):
     """Inference-mode BatchNorm over the channel (last) axis with torch
     param names (weight/bias/running_mean/running_var). The pitch models

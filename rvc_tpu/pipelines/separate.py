@@ -240,10 +240,120 @@ class MDXSeparator:
         }
 
 
+class DemucsSeparator:
+    """Hybrid Demucs v3/v4 separation from a reference ``.th`` package
+    (reference lib/uvr5_pack/demucs/apply.py:124 drive — chunked
+    triangular overlap-add; the model forward itself is one fused XLA
+    program, models/htdemucs.py)."""
+
+    def __init__(self, model_path: str, segment: float | None = None,
+                 overlap: float = 0.25, shifts: int = 1, dtype: Any = jnp.float32):
+        from ..compat.torch_import import htdemucs_kwargs_from_meta, load_demucs_v4
+        from ..models.htdemucs import HDemucs, HTDemucs
+
+        self.sub: list[DemucsSeparator] = []
+        self.weights: list[list[float]] = []
+        if model_path.endswith((".yaml", ".yml")):
+            # bag of models (reference demucs/apply.py BagOfModels:29):
+            # <sig>.yaml next to <sig>*.th member files
+            import glob
+
+            import yaml
+
+            with open(model_path) as f:
+                bag = yaml.safe_load(f)
+            folder = os.path.dirname(os.path.abspath(model_path))
+            for sig in bag["models"]:
+                cands = (glob.glob(os.path.join(folder, f"{sig}*.th"))
+                         or glob.glob(os.path.join(folder, f"{sig}*.ckpt")))
+                if not cands:
+                    raise FileNotFoundError(f"bag member {sig}*.th in {folder}")
+                self.sub.append(DemucsSeparator(
+                    cands[0], segment=bag.get("segment", segment),
+                    overlap=overlap, shifts=shifts, dtype=dtype))
+            first = self.sub[0]
+            self.sources = first.sources
+            self.samplerate = first.samplerate
+            self.segment_samples = first.segment_samples
+            self.weights = (bag.get("weights")
+                            or [[1.0] * len(self.sources) for _ in self.sub])
+            self.overlap, self.shifts = overlap, shifts
+            return
+        self.params, meta = load_demucs_v4(model_path)
+        kwargs = htdemucs_kwargs_from_meta(meta)
+        klass = HTDemucs if meta.get("klass", "HTDemucs") == "HTDemucs" else HDemucs
+        self.model = klass(**kwargs, dtype=dtype)
+        self.sources = list(meta.get("sources") or self.model.sources)
+        self.samplerate = int(meta.get("samplerate", 44100))
+        seg = segment if segment is not None else meta.get("segment", 10.0)
+        self.segment_samples = int(float(seg) * self.samplerate)
+        self.overlap = overlap
+        self.shifts = shifts
+        self._apply = jax.jit(self.model.apply)
+
+    def demix(self, mix: np.ndarray) -> np.ndarray:
+        """mix (C, T) float32 → (S, C, T) stems. For a bag, the weighted
+        per-source average over members (reference apply.py:139-160)."""
+        from ..models.demucs import apply_model
+
+        if self.sub:
+            est = None
+            totals = np.zeros(len(self.sources), np.float64)
+            for sep, w in zip(self.sub, self.weights):
+                out = sep.demix(mix) * np.asarray(w, np.float32)[:, None, None]
+                totals += np.asarray(w)
+                est = out if est is None else est + out
+            return est / totals[:, None, None].astype(np.float32)
+
+        fn = lambda batch: self._apply(self.params, batch)  # noqa: E731
+        return apply_model(fn, mix, self.segment_samples,
+                           overlap=self.overlap, shifts=self.shifts)
+
+    @staticmethod
+    def _stereo_int16(stem: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        """(C, T) float → (C, T) int16, channels preserved (stems are
+        stereo; remix_audio always downmixes multichannel input)."""
+        peak = np.abs(stem).max() / 0.95
+        if peak > 1:
+            stem = stem / peak
+        return (np.clip(stem * 32768.0, -32767, 32767).astype(np.int16), sr)
+
+    def run_inference(self, audio: np.ndarray, sr: int) -> dict:
+        from .karafan import _to_stereo_44k
+
+        mix = np.atleast_2d(np.asarray(audio, np.float32))
+        if self.samplerate == 44100:
+            mix = _to_stereo_44k(mix, sr)
+        elif sr != self.samplerate:
+            import math as _m
+
+            from scipy import signal as _ss
+
+            g = _m.gcd(sr, self.samplerate)
+            mix = _ss.resample_poly(mix, self.samplerate // g, sr // g,
+                                    axis=-1).astype(np.float32)
+        if mix.shape[0] == 1:
+            mix = np.vstack([mix, mix])
+        stems = self.demix(mix.astype(np.float32))
+        out = {"sr": self.samplerate,
+               "input_audio": (mix, self.samplerate)}
+        for name, stem in zip(self.sources, stems):
+            out[name] = self._stereo_int16(stem, self.samplerate)
+        if "vocals" in self.sources:
+            v = stems[self.sources.index("vocals")]
+            inst = mix[:, : v.shape[1]] - v
+            out["instrumentals"] = self._stereo_int16(inst, self.samplerate)
+        return out
+
+
 def route_separator(model_path: str, **kwargs):
-    """Keyword routing (reference uvr5_cli.py:24-64): MDX models by name,
-    dereverb/echo → VR 'new' nets, else the VR cascaded net."""
+    """Keyword routing (reference uvr5_cli.py:24-64 + Demucs v3/v4
+    ``.th``/``.yaml`` packages): MDX models by name, dereverb/echo → VR
+    'new' nets, demucs checkpoints → hybrid demucs, else the VR
+    cascaded net."""
     name = os.path.basename(model_path).lower()
+    if name.endswith((".th", ".yaml")) or "demucs" in name:
+        return "demucs"
     if "mdx" in name:
         return "mdx"
     if any(k in name for k in ("reverb", "echo", "dereverb")):
