@@ -121,7 +121,8 @@ class VRSeparator:
         for d in range(bands_n, 0, -1):
             bp = p["band"][d]
             if d == bands_n:
-                wav = remix_audio((audio, sr), target_sr=bp["sr"], axis=-1)[0] \
+                # channel-preserving resample (remix_audio downmixes)
+                wav = B._resample_np(audio, sr, bp["sr"]) \
                     if sr != bp["sr"] else audio
                 X_wave[d] = np.atleast_2d(wav)
                 if X_wave[d].shape[0] == 1:
@@ -165,6 +166,12 @@ class MDXSeparator:
                  net: Any = None, dtype=jnp.float32):
         self.spec = MDXSpectrogram(dim_f, 2 ** dim_t if dim_t < 32 else dim_t, n_fft, hop)
         self.net = net or ConvTDFNetTrim(dim_f=dim_f, dtype=dtype)
+        if isinstance(params, str):
+            # path to the reference .onnx model file: extract + auto-map
+            # (compat/onnx_import.convtdf_params_from_onnx)
+            from ..compat.onnx_import import convtdf_params_from_onnx
+
+            params = convtdf_params_from_onnx(params, model=self.net)
         self.params = params
         self.stem_name = stem_name
         self.compensation = compensation
@@ -223,9 +230,9 @@ class MDXSeparator:
         return np.concatenate(outs, axis=-1)
 
     def run_inference(self, audio: np.ndarray, sr: int) -> dict:
-        mix, _ = remix_audio((audio, sr), target_sr=44100, axis=-1)
-        if mix.ndim == 1:
-            mix = np.stack([mix, mix])
+        from .karafan import _to_stereo_44k
+
+        mix = _to_stereo_44k(np.atleast_2d(np.asarray(audio, np.float32)), sr)
         primary = self.demix(mix)
         secondary = mix[:, : primary.shape[1]] - primary
         vocals, instrumental = (

@@ -175,3 +175,165 @@ def test_torch_adam_state_import():
     torch_mu = opt.state_dict()["state"][0]["exp_avg"].numpy()
     np.testing.assert_allclose(mu_w, torch_mu, atol=1e-7)
     assert int(adam.count) == 1
+
+
+def _onnx_writer_helpers():
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def field(num, wire, payload):
+        key = varint((num << 3) | wire)
+        if wire == 2:
+            return key + varint(len(payload)) + payload
+        return key + payload
+
+    def tensor(name, arr):
+        buf = b"".join(field(1, 0, varint(d)) for d in arr.shape)
+        buf += field(2, 0, varint(1))  # float32
+        buf += field(8, 2, name.encode())
+        buf += field(9, 2, np.ascontiguousarray(arr, np.float32).tobytes())
+        return field(5, 2, buf)
+
+    def node(op, inputs, outputs):
+        buf = b"".join(field(1, 2, i.encode()) for i in inputs)
+        buf += b"".join(field(2, 2, o.encode()) for o in outputs)
+        buf += field(4, 2, op.encode())
+        return field(1, 2, buf)
+
+    return varint, field, tensor, node
+
+
+def _flat_params(tree, prefix=()):
+    out = []
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.extend(_flat_params(v, prefix + (k,)))
+        else:
+            out.append((prefix + (k,), np.asarray(v)))
+    return out
+
+
+def test_convtdf_onnx_auto_mapper(tmp_path, rng):
+    """Both ONNX→ConvTDFNetTrim strategies: torch-named initializers and
+    anonymized names via structural graph walking."""
+    import re as _re
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from rvc_tpu.compat.onnx_import import convtdf_params_from_onnx
+    from rvc_tpu.models.mdx_net import ConvTDFNetTrim
+
+    model = ConvTDFNetTrim(num_blocks=5, l=1, g=4, bn=2, dim_f=16,
+                           norm="GroupNorm2", act="relu")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 16, 4), jnp.float32))
+    leaves = _flat_params(params["params"])
+    _, field, tensor, node = _onnx_writer_helpers()
+
+    # -- name-based: torch-style initializer names -------------------------
+    def torch_name(path):
+        def inv(p):
+            return _re.sub(r"(?<=\d)_", ".", _re.sub(r"_(?=\d)", ".", p))
+
+        return ".".join(inv(p) for p in path)
+
+    graph = b"".join(tensor(torch_name(p), a) for p, a in leaves)
+    f1 = tmp_path / "named.onnx"
+    f1.write_bytes(field(7, 2, graph))
+    got = convtdf_params_from_onnx(str(f1))
+    for p, a in leaves:
+        node_ = got["params"]
+        for k in p:
+            node_ = node_[k]
+        np.testing.assert_array_equal(node_, a)
+
+    # -- structural: anonymized names, mapped by graph walk ----------------
+    # nodes must appear in trace (forward) order — spell it out for the
+    # tiny config (n=2 scales, l=1 block, GroupNorm) independently of the
+    # mapper's own order generator
+    def trace_order():
+        def dense(pre):
+            yield (pre, "blocks_0_shortcut", "weight")
+            for sub in ("tfc1_0", "tfc1_2", "tdf_0", "tdf_2", "tdf_3",
+                        "tdf_5", "tfc2_0", "tfc2_2"):
+                if sub.endswith(("_0", "_3")):
+                    yield (pre, f"blocks_0_{sub}", "weight")
+                    yield (pre, f"blocks_0_{sub}", "bias")
+                else:
+                    yield (pre, f"blocks_0_{sub}", "weight")
+
+        yield ("first_conv", "weight")
+        for i in range(2):
+            yield from dense(f"ds_dense_{i}")
+            yield (f"ds_{i}", "weight")
+        yield from dense("mid_dense")
+        for i in range(2):
+            yield (f"us_{i}", "weight")
+            yield from dense(f"us_dense_{i}")
+        yield ("final_conv", "weight")
+
+    by_path = {p: a for p, a in leaves}
+    leaves = [(p, by_path[p]) for p in trace_order()]
+    assert len(leaves) == len(by_path)
+
+    inits = []
+    nodes = []
+    for i, (p, a) in enumerate(leaves):
+        name = f"onnx::W_{i}"
+        leaf = p[-1]
+        if a.ndim == 4:
+            op = "ConvTranspose" if _re.fullmatch(r"us_\d+", p[-2]) else "Conv"
+            inits.append(tensor(name, a))
+            nodes.append(node(op, [f"x{i}", name], [f"x{i+1}"]))
+        elif a.ndim == 2:
+            inits.append(tensor(name, a.T))  # ONNX MatMul stores (in, out)
+            nodes.append(node("MatMul", [f"x{i}", name], [f"x{i+1}"]))
+        elif leaf == "weight":
+            inits.append(tensor(name, a))
+            nodes.append(node("Mul", [f"x{i}", name], [f"x{i+1}"]))
+        else:
+            inits.append(tensor(name, a))
+            nodes.append(node("Add", [f"x{i}", name], [f"x{i+1}"]))
+    f2 = tmp_path / "anon.onnx"
+    f2.write_bytes(field(7, 2, b"".join(nodes + inits)))
+    got2 = convtdf_params_from_onnx(str(f2), model=model)
+    for p, a in leaves:
+        node_ = got2["params"]
+        for k in p:
+            node_ = node_[k]
+        np.testing.assert_array_equal(node_, a)
+
+    # anonymized without a model → clear error
+    with pytest.raises(ValueError, match="structural"):
+        convtdf_params_from_onnx(str(f2))
+
+    # corrupt one conv shape → loud shape error
+    bad = [(p, (a[:1] if a.ndim == 4 else a)) for p, a in leaves]
+    inits_b, nodes_b = [], []
+    for i, (p, a) in enumerate(bad):
+        name = f"onnx::W_{i}"
+        if a.ndim == 4:
+            op = "ConvTranspose" if _re.fullmatch(r"us_\d+", p[-2]) else "Conv"
+            inits_b.append(tensor(name, a))
+            nodes_b.append(node(op, [f"x{i}", name], [f"x{i+1}"]))
+        elif a.ndim == 2:
+            inits_b.append(tensor(name, a.T))
+            nodes_b.append(node("MatMul", [f"x{i}", name], [f"x{i+1}"]))
+        elif p[-1] == "weight":
+            inits_b.append(tensor(name, a))
+            nodes_b.append(node("Mul", [f"x{i}", name], [f"x{i+1}"]))
+        else:
+            inits_b.append(tensor(name, a))
+            nodes_b.append(node("Add", [f"x{i}", name], [f"x{i+1}"]))
+    f3 = tmp_path / "bad.onnx"
+    f3.write_bytes(field(7, 2, b"".join(nodes_b + inits_b)))
+    with pytest.raises(ValueError, match="shape"):
+        convtdf_params_from_onnx(str(f3), model=model)
