@@ -405,10 +405,16 @@ def _load_separator(kind: str, model_path: str, agg: float):
         from ..pipelines.separate import MDXSeparator, VRSeparator
         from ..ops.bands import ModelParameters
 
+        if kind == "demucs":
+            from ..pipelines.separate import DemucsSeparator
+
+            _CACHE[key] = DemucsSeparator(model_path)
+            return _CACHE[key]
         if kind == "mdx":
-            raise NotImplementedError(
-                "MDX ONNX weight extraction requires the onnx converter; "
-                "construct MDXSeparator directly with converted params")
+            # .onnx weights auto-mapped onto the native Conv-TDF net
+            # (compat/onnx_import.convtdf_params_from_onnx)
+            _CACHE[key] = MDXSeparator(model_path)
+            return _CACHE[key]
         import jax
         import torch
 
