@@ -1,0 +1,64 @@
+"""Separation benchmark on the real TPU: full-size HTDemucs v4.
+
+Prints one JSON line (secondary metric; the driver-required line stays
+in bench.py). Reference baseline: demucs v4 through torch/CUDA runs at
+roughly single-digit realtime multiples on consumer GPUs.
+
+Measurement notes for the axon tunnel:
+  * block_until_ready is a no-op through the tunnel — a tiny host
+    readback is the only real synchronization, so every timed call ends
+    with np.asarray of a 4-float slice;
+  * identical repeated requests can be served from a cache — every
+    timed call uses fresh random input;
+  * chunks are batched into one dispatch (batch 8 of 7.8 s segments),
+    the same shape DemucsSeparator's chunk driver produces.
+"""
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+def bench_htdemucs(dtype=jnp.bfloat16, seconds: float = 7.8, batch: int = 8,
+                   repeats: int = 4):
+    from rvc_tpu.models.htdemucs import HTDemucs
+    from rvc_tpu.utils.fastinit import fast_init
+
+    model = HTDemucs(sources=("drums", "bass", "other", "vocals"),
+                     use_train_segment=False, segment=seconds, dtype=dtype)
+    T = int(seconds * 44100)
+    rng = np.random.default_rng(1)
+    params = fast_init(functools.partial(model.init, jax.random.PRNGKey(0)),
+                       jnp.zeros((batch, T, 2), jnp.float32))
+    fn = jax.jit(model.apply)
+    t0 = time.time()
+    np.asarray(fn(params, jnp.zeros((batch, T, 2), jnp.float32))[0, 0, :4, 0])
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        x = jnp.asarray(rng.standard_normal((batch, T, 2)), jnp.float32)
+        jax.block_until_ready(x)
+        t0 = time.time()
+        np.asarray(fn(params, x)[0, 0, :4, 0])
+        best = min(best, time.time() - t0)
+    rtf = batch * seconds / best
+    print(json.dumps({
+        "metric": "htdemucs_v4_separation_per_chip",
+        "value": round(rtf, 1), "unit": "x_realtime",
+        "batch": batch, "segment_s": seconds, "batch_forward_s": round(best, 4),
+        "compile_s": round(compile_s, 1), "dtype": dtype.__name__,
+    }))
+    return rtf
+
+
+if __name__ == "__main__":
+    bench_htdemucs()
