@@ -74,10 +74,11 @@ class AudioTranscriptionNode:
     def INPUT_TYPES(cls):
         return {"required": {"audio": ("AUDIO",), "model": ("WHISPER_MODEL",)},
                 "optional": {"chunk_seconds": ("INT", {"default": 30}),
-                             "tokenizer_path": ("STRING", {"default": ""})}}
+                             "tokenizer_path": ("STRING", {"default": ""}),
+                             "language": ("STRING", {"default": ""})}}
 
     def transcribe(self, audio, model, chunk_seconds: int = 30,
-                   tokenizer_path: str = ""):
+                   tokenizer_path: str = "", language: str = ""):
         import jax.numpy as jnp
 
         from .nodes import from_audio_input
@@ -94,7 +95,8 @@ class AudioTranscriptionNode:
             seg = mono[start : start + step]
             seg = np.pad(seg, (0, 30 * 16000 - len(seg)))
             mel = log_mel_spectrogram(jnp.asarray(seg, jnp.float32)[None])
-            tokens = greedy_decode(m["params"], m["dims"], mel)
+            tokens = greedy_decode(m["params"], m["dims"], mel,
+                                   language=language or None)
             text = tokenizer.decode(
                 [t for t in tokens[0].tolist() if t < 50257]
             ) if tokenizer else " ".join(map(str, tokens[0].tolist()))
@@ -113,7 +115,10 @@ def _load_tokenizer(path: str):
         try:
             from transformers import WhisperTokenizer
 
-            return WhisperTokenizer.from_pretrained("openai/whisper-tiny")
+            # local_files_only: in an offline environment the default
+            # network path retries DNS for minutes before failing
+            return WhisperTokenizer.from_pretrained("openai/whisper-tiny",
+                                                    local_files_only=True)
         except Exception:
             return None
     from transformers import WhisperTokenizer

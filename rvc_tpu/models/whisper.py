@@ -52,6 +52,21 @@ class WhisperDims:
     n_text_layer: int = 4
 
 
+# language codes in token order: token id = SOT + 1 + index (the public
+# whisper tokenizer LANGUAGES table; v3 appends "yue")
+LANGUAGE_CODES = (
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su", "yue",
+)
+
+
 WHISPER_SIZES = {
     "tiny": WhisperDims(),
     "base": WhisperDims(n_audio_state=512, n_audio_head=8, n_audio_layer=6,
@@ -275,25 +290,77 @@ def load_whisper(path: str):
 # ---------------------------------------------------------------------------
 
 
-def greedy_decode(params, dims: WhisperDims, mel: jax.Array,
-                  sot_sequence: tuple[int, ...] = (50258, 50259, 50359, 50363),
-                  eot: int = 50257, max_len: int = 128, dtype=jnp.float32):
-    """Greedy token decoding; returns (B, ≤max_len) token ids (without SOT)."""
+def detect_language(params, dims: WhisperDims, mel: jax.Array,
+                    dtype=jnp.float32) -> tuple[np.ndarray, np.ndarray]:
+    """Language id from one decoder forward on the SOT token (reference
+    musetalk whisper decoding.detect_language semantics): logits are
+    restricted to the language-token range and softmaxed.
+
+    Returns (language_token_ids (B,), probabilities (B,)). For the
+    multilingual vocab the language tokens are 50259..50358 (sot+1 ..
+    sot+100); pass the ids straight into greedy_decode's sot_sequence.
+    """
+    if dims.n_vocab < 51865:
+        raise ValueError("English-only model has no language tokens")
     model = Whisper(dims, dtype=dtype)
     audio = model.apply(params, mel, method=Whisper.embed_audio)
+    sot = dims.n_vocab - 51865 + 50258  # 50258 (v1/v2), 50259 (v3)
     B = mel.shape[0]
-    tokens = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None], (B, 1))
-    logits_fn = jax.jit(
-        lambda p, t, a: model.apply(p, t, a, method=Whisper.logits))
+    tokens = jnp.full((B, 1), sot, jnp.int32)
+    logits = model.apply(params, tokens, audio, method=Whisper.logits)[:, 0]
+    n_lang = 100 if dims.n_vocab == 51866 else 99
+    lang_logits = logits[:, sot + 1 : sot + 1 + n_lang]
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    ids = jnp.argmax(probs, axis=-1)
+    return (np.asarray(ids) + sot + 1,
+            np.asarray(jnp.take_along_axis(probs, ids[:, None], 1)[:, 0]))
+
+
+def greedy_decode(params, dims: WhisperDims, mel: jax.Array,
+                  sot_sequence: tuple[int, ...] = (50258, 50259, 50359, 50363),
+                  eot: int = 50257, max_len: int = 128, dtype=jnp.float32,
+                  language: str | None = None):
+    """Greedy token decoding; returns (B, ≤max_len) token ids (without SOT).
+
+    language="auto" replaces the language slot of sot_sequence with the
+    detected language token (first batch element's detection)."""
+    model = Whisper(dims, dtype=dtype)
+    if language and len(sot_sequence) >= 2:
+        if language == "auto":
+            lang_ids, _ = detect_language(params, dims, mel, dtype=dtype)
+            lang_tok = int(lang_ids[0])
+        else:
+            sot = dims.n_vocab - 51865 + 50258
+            lang_tok = sot + 1 + LANGUAGE_CODES.index(language)
+        sot_sequence = (sot_sequence[0], lang_tok, *sot_sequence[2:])
+    audio = model.apply(params, mel, method=Whisper.embed_audio)
+    B = mel.shape[0]
+    # never decode past the text context window
+    max_len = min(max_len, dims.n_text_ctx - len(sot_sequence))
+    n_sot = len(sot_sequence)
+    # fixed-size token buffer → ONE compile for the whole decode (the
+    # causal mask makes positions ≥ step irrelevant to the step's logits;
+    # a growing buffer would recompile at every step)
+    L = n_sot + max_len
+    buf = jnp.full((B, L), eot, jnp.int32)
+    buf = buf.at[:, :n_sot].set(jnp.asarray(sot_sequence, jnp.int32)[None])
+
+    @jax.jit
+    def step_fn(p, t, a, pos):
+        logits = model.apply(p, t, a, method=Whisper.logits)
+        row = jax.lax.dynamic_slice_in_dim(logits, pos, 1, axis=1)[:, 0]
+        return jnp.argmax(row, axis=-1).astype(jnp.int32)
+
     out = []
     done = np.zeros(B, bool)
+    pos = n_sot
     for _ in range(max_len):
-        logits = logits_fn(params, tokens, audio)
-        nxt = np.asarray(jnp.argmax(logits[:, -1], -1)).astype(np.int32)
+        nxt = np.asarray(step_fn(params, buf, audio, pos - 1))
         nxt = np.where(done, eot, nxt)
         done |= nxt == eot
         out.append(nxt)
         if done.all():
             break
-        tokens = jnp.concatenate([tokens, jnp.asarray(nxt)[:, None]], axis=1)
+        buf = buf.at[:, pos].set(jnp.asarray(nxt))
+        pos += 1
     return np.stack(out, axis=1)

@@ -124,3 +124,37 @@ def test_s3fd_shapes_and_decode(rng):
     dets = decode_s3fd([np.asarray(o) for o in outs], scale_threshold=0.9)
     kept = nms(dets)
     assert kept.ndim == 2 and kept.shape[1] == 5
+
+
+def test_whisper_detect_language(rng):
+    """Language detection: one decoder step on SOT restricted to the
+    language-token range; 'auto' splices the id into the SOT sequence."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from rvc_tpu.models.whisper import (WhisperDims, Whisper, detect_language,
+                                        greedy_decode)
+
+    dims = WhisperDims(n_mels=8, n_audio_ctx=10, n_audio_state=16,
+                       n_audio_head=2, n_audio_layer=1, n_vocab=51865,
+                       n_text_ctx=8, n_text_state=16, n_text_head=2,
+                       n_text_layer=1)
+    model = Whisper(dims)
+    mel = jnp.asarray(rng.standard_normal((2, 20, 8)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), mel,
+                        jnp.zeros((2, 3), jnp.int32))
+    ids, probs = detect_language(params, dims, mel)
+    assert ids.shape == (2,) and probs.shape == (2,)
+    assert all(50259 <= i <= 50357 for i in ids)
+    assert np.all(probs > 0) and np.all(probs <= 1)
+
+    toks = greedy_decode(params, dims, mel, max_len=3, language="auto")
+    assert toks.shape[0] == 2
+
+    en = WhisperDims(n_mels=8, n_audio_ctx=10, n_audio_state=16,
+                     n_audio_head=2, n_audio_layer=1, n_vocab=51864,
+                     n_text_ctx=8, n_text_state=16, n_text_head=2,
+                     n_text_layer=1)
+    with pytest.raises(ValueError, match="English-only"):
+        detect_language(params, en, mel)
