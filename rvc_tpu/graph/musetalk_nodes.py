@@ -35,6 +35,51 @@ class MuseAudioFeatureExtractionNode:
         return (np.stack(chunks), len(chunks))
 
 
+class MuseImageFeatureExtractionNode:
+    """Image preprocessing: per-frame face crop coordinates (reference
+    MuseImageFeatureExtractionNode.process :167 — bbox detection with a
+    cached coord list). With a face model path the S3FD detector runs;
+    otherwise full-frame boxes are returned."""
+
+    CATEGORY = "rvc_tpu/musetalk"
+    RETURN_TYPES = ("COORDS", "IMAGE")
+    RETURN_NAMES = ("coord_list", "images")
+    FUNCTION = "process"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"images": ("IMAGE",)},
+                "optional": {"face_model_path": ("STRING", {"default": ""}),
+                             "use_cache": ("BOOLEAN", {"default": True})}}
+
+    _CACHE: dict = {}
+
+    def process(self, images, face_model_path="", use_cache=True):
+        frames = [np.asarray(f) for f in np.asarray(images)]
+        frames = [(f * 255).astype(np.uint8) if f.dtype != np.uint8 else f
+                  for f in frames]
+        key = get_hash("musecoords", len(frames), get_hash(frames[0].tobytes()),
+                       face_model_path)
+        if use_cache and key in self._CACHE:
+            return (self._CACHE[key], images)
+        if face_model_path:
+            import torch
+
+            from ..models.musetalk.face import s3fd_params_from_state_dict
+            from ..pipelines.musetalk import MuseTalkPipeline
+
+            face_params = s3fd_params_from_state_dict(
+                torch.load(face_model_path, map_location="cpu",
+                           weights_only=False))
+            pipe = MuseTalkPipeline(None, None, None, face_params)
+            coords = pipe.detect_faces(frames)
+        else:
+            coords = [(0, 0, f.shape[1], f.shape[0]) for f in frames]
+        if use_cache:
+            self._CACHE[key] = coords
+        return (coords, images)
+
+
 class MuseTalkNode:
     """Latent lip-sync inference (reference MuseTalkNode.process :224)."""
 
@@ -52,12 +97,13 @@ class MuseTalkNode:
             "unet_path": ("STRING", {"default": ""}),
         }, "optional": {
             "face_model_path": ("STRING", {"default": ""}),
+            "coords": ("COORDS",),
             "fps": ("FLOAT", {"default": 25.0}),
             "batch_size": ("INT", {"default": 8}),
         }}
 
     def process(self, images, audio, whisper, vae_path, unet_path,
-                face_model_path="", fps=25.0, batch_size=8):
+                face_model_path="", coords=None, fps=25.0, batch_size=8):
         import torch
 
         from .nodes import from_audio_input
@@ -83,14 +129,18 @@ class MuseTalkNode:
         frames = [np.asarray(f) for f in np.asarray(images)]
         frames = [(f * 255).astype(np.uint8) if f.dtype != np.uint8 else f
                   for f in frames]
-        boxes = None if face_params is not None else [
-            (0, 0, f.shape[1], f.shape[0]) for f in frames
-        ]
+        if coords is not None:
+            boxes = list(coords)
+        elif face_params is not None:
+            boxes = None  # detect inside the pipeline
+        else:
+            boxes = [(0, 0, f.shape[1], f.shape[0]) for f in frames]
         out = pipe.process(frames, mono, fps=fps, boxes=boxes, batch_size=batch_size)
         return (np.stack([f.astype(np.float32) / 255.0 for f in out]),)
 
 
 MUSETALK_NODE_CLASS_MAPPINGS = {
     "RVC_TPU_MuseAudioFeatures": MuseAudioFeatureExtractionNode,
+    "RVC_TPU_MuseImageFeatures": MuseImageFeatureExtractionNode,
     "RVC_TPU_MuseTalk": MuseTalkNode,
 }

@@ -102,6 +102,76 @@ class MergeAudioNode:
         return (to_audio_dict(mixed, out_sr),)
 
 
+class AudioInfoNode:
+    """Duration/sample-rate probe (reference audio_nodes.py AudioInfoNode:54)."""
+
+    CATEGORY = "rvc_tpu/audio"
+    RETURN_TYPES = ("AUDIO", "FLOAT", "INT")
+    RETURN_NAMES = ("audio", "seconds", "sr")
+    FUNCTION = "get_info"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"audio": ("AUDIO",)}}
+
+    def get_info(self, audio):
+        wav, sr = from_audio_input(audio)
+        seconds = float(np.atleast_2d(wav).shape[-1]) / sr
+        return (audio, seconds, int(sr))
+
+
+class ProcessAudioNode:
+    """Click/silence cleanup via AudioProcessor (reference audio_nodes.py
+    ProcessAudioNode:224 — returns the configured processor plus the
+    processed audio when one is supplied)."""
+
+    CATEGORY = "rvc_tpu/audio"
+    RETURN_TYPES = ("AUDIO_PROCESSOR", "AUDIO")
+    RETURN_NAMES = ("audio_processor", "audio")
+    FUNCTION = "process_audio"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "normalize": ("BOOLEAN", {"default": True}),
+            "threshold_silence": ("BOOLEAN", {"default": True}),
+            "dynamic_threshold": ("BOOLEAN", {"default": True}),
+        }, "optional": {
+            "audio": ("AUDIO", {"default": None}),
+            "dynamic_threshold_sample_size": ("INT", {"default": 4000}),
+            "dynamic_threshold_multiplier": ("FLOAT", {"default": 2.0}),
+            "dynamic_threshold_fill_method": (["median", "interpolation"],
+                                              {"default": "median"}),
+            "dynamic_threshold_kernel_size": ("INT", {"default": 5}),
+            "silence_threshold_db": ("INT", {"default": -50}),
+            "normalize_threshold_db": ("INT", {"default": -1}),
+        }}
+
+    def process_audio(self, normalize, threshold_silence, dynamic_threshold,
+                      audio=None, dynamic_threshold_sample_size=16000,
+                      dynamic_threshold_multiplier=2.0,
+                      dynamic_threshold_fill_method="median",
+                      dynamic_threshold_kernel_size=5,
+                      silence_threshold_db=-50, normalize_threshold_db=-1):
+        from ..io.audio import AudioProcessor
+
+        proc = AudioProcessor(
+            normalize=normalize, threshold_silence=threshold_silence,
+            dynamic_threshold=dynamic_threshold,
+            sample_size=dynamic_threshold_sample_size,
+            multiplier=dynamic_threshold_multiplier,
+            fill_method=dynamic_threshold_fill_method,
+            kernel_size=dynamic_threshold_kernel_size,
+            silence_threshold_db=silence_threshold_db,
+            normalize_threshold_db=normalize_threshold_db)
+        out = None
+        if audio is not None:
+            wav, sr = from_audio_input(audio)
+            cleaned, out_sr = proc((wav, sr))
+            out = to_audio_dict(cleaned, out_sr)
+        return (proc, out)
+
+
 class AudioBatchValueNode:
     """RMS→per-frame value curve for animation conditioning
     (reference audio_nodes.py:311: AudioBatchValueNode.get_frame_weights)."""
@@ -301,6 +371,34 @@ class ProcessDatasetNode:
                  "exp_dir": exp_dir},)
 
 
+class TrainParamsNode:
+    """Loss-weight / optimizer knobs bundle (reference rvc_nodes.py
+    RVCTrainParamsNode:352 → RVC_TRAINING_PARAMS dict)."""
+
+    CATEGORY = "rvc_tpu/rvc"
+    RETURN_TYPES = ("RVC_TRAINING_PARAMS",)
+    RETURN_NAMES = ("rvc_training_params",)
+    FUNCTION = "init"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"optional": {
+            "batch_size": ("INT", {"default": 4}),
+            "c_mel": ("FLOAT", {"default": 45.0}),
+            "c_kl": ("FLOAT", {"default": 1.0}),
+            "c_tefs": ("FLOAT", {"default": 0.0}),
+            "c_hd": ("FLOAT", {"default": 0.0}),
+            "c_tsi": ("FLOAT", {"default": 0.0}),
+            "c_gp": ("FLOAT", {"default": 0.0}),
+            "use_multiscale": ("BOOLEAN", {"default": False}),
+            "use_balancer": ("BOOLEAN", {"default": False}),
+            "learning_rate": ("FLOAT", {"default": 1e-4}),
+        }}
+
+    def init(self, **kwargs):
+        return (kwargs,)
+
+
 class TrainModelNode:
     CATEGORY = "rvc_tpu/rvc"
     RETURN_TYPES = ("STRING",)
@@ -315,17 +413,29 @@ class TrainModelNode:
             "epochs": ("INT", {"default": 100}),
             "batch_size": ("INT", {"default": 4}),
             "save_every_epoch": ("INT", {"default": 10}),
+        }, "optional": {
+            "train_params": ("RVC_TRAINING_PARAMS",),
         }}
 
-    def train(self, dataset, model_name, epochs=100, batch_size=4, save_every_epoch=10):
+    def train(self, dataset, model_name, epochs=100, batch_size=4,
+              save_every_epoch=10, train_params=None):
         import dataclasses
 
         from ..pipelines.train import TrainRunConfig, train_model
 
         cfg_name = dataset["sr"] + ("_v2" if dataset["version"] == "v2" else "")
         cfg = preset(cfg_name)
+        overrides = dict(epochs=epochs, batch_size=batch_size)
+        if train_params:
+            tp = dict(train_params)
+            tp.pop("use_multiscale", None)  # handled by Trainer.use_multiscale
+            tp.pop("use_balancer", None)
+            if "batch_size" in tp:
+                overrides["batch_size"] = tp.pop("batch_size")
+            field_names = set(type(cfg.train).__dataclass_fields__)
+            overrides.update({k: v for k, v in tp.items() if k in field_names})
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, epochs=epochs, batch_size=batch_size))
+            cfg, train=dataclasses.replace(cfg.train, **overrides))
         run = TrainRunConfig(
             model_dir=os.path.join(dataset["exp_dir"], model_name),
             filelist=dataset["filelist"], total_epochs=epochs,
@@ -438,6 +548,9 @@ NODE_CLASS_MAPPINGS = {
     "RVC_TPU_LoadAudio": LoadAudioNode,
     "RVC_TPU_SaveAudio": SaveAudioNode,
     "RVC_TPU_MergeAudio": MergeAudioNode,
+    "RVC_TPU_AudioInfo": AudioInfoNode,
+    "RVC_TPU_ProcessAudio": ProcessAudioNode,
+    "RVC_TPU_TrainParams": TrainParamsNode,
     "RVC_TPU_AudioBatchValue": AudioBatchValueNode,
     "RVC_TPU_LoadRVCModel": RVCModelLoaderNode,
     "RVC_TPU_LoadHubert": HubertLoaderNode,

@@ -137,7 +137,43 @@ class SortNode:
         return (sorted(values, reverse=reverse),)
 
 
+class Any2ListNode:
+    """Wrap any value into a ComfyUI output list (reference
+    utility_nodes.py Any2ListNode:341)."""
+
+    CATEGORY = "rvc_tpu/utility"
+    RETURN_TYPES = ("*",)
+    OUTPUT_IS_LIST = (True,)
+    FUNCTION = "to"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"any": ("*",)}}
+
+    def to(self, any):  # noqa: A002 - reference signature
+        return (list(any),)
+
+
+class List2AnyNode:
+    """Collapse a ComfyUI input list back into one value (reference
+    utility_nodes.py List2AnyNode:361)."""
+
+    CATEGORY = "rvc_tpu/utility"
+    RETURN_TYPES = ("*",)
+    INPUT_IS_LIST = (True,)
+    FUNCTION = "to"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"any": ("*",)}}
+
+    def to(self, any):  # noqa: A002
+        return (any,)
+
+
 UTILITY_NODE_CLASS_MAPPINGS = {
+    "RVC_TPU_Any2List": Any2ListNode,
+    "RVC_TPU_List2Any": List2AnyNode,
     "RVC_TPU_MergeImageBatches": MergeImageBatchesNode,
     "RVC_TPU_ImageRepeatInterleaved": ImageRepeatInterleavedNode,
     "RVC_TPU_LatentRepeatInterleaved": LatentRepeatInterleavedNode,
