@@ -17,20 +17,41 @@ BASE_MODELS_DIR = os.environ.get(
 RVC_DOWNLOAD_LINK = "https://huggingface.co/datasets/SayanoAI/RVC-Studio/resolve/main/"
 
 # Catalogs mirroring reference settings/downloader.py:14-70
+MDX_MODELS = ["MDXNET/UVR-MDX-NET-vocal_FT.onnx"]
+KARAFAN_MODELS = ["karafan/MDX23C-8KFFT-InstVoc_HQ.ckpt"]
+VR_MODELS = [
+    "UVR/UVR-DeEcho-DeReverb.pth",
+    "UVR/HP5-vocals+instrumentals.pth",
+    "UVR/5_HP-Karaoke-UVR.pth",
+    "UVR/6_HP-Karaoke-UVR.pth",
+    "UVR/model_bs_roformer_ep_317_sdr_12.9755.ckpt",
+    "UVR/UVR-BVE-4B_SN-44100-1.pth",
+    "UVR/UVR-DeNoise.pth",
+]
 RVC_MODELS = ["RVC/Claire.pth", "RVC/Sayano.pth", "RVC/Mae_v2.pth", "RVC/Fuji.pth",
               "RVC/Monika.pth"]
-RVC_INDEX = ["RVC/.index/added_IVF1063_Flat_nprobe_1_Sayano_v2.index"]
+RVC_INDEX = [
+    "RVC/.index/added_IVF1063_Flat_nprobe_1_Sayano_v2.index",
+    "RVC/.index/added_IVF985_Flat_nprobe_1_Fuji_v2.index",
+    "RVC/.index/Monika_v2_40k.index",
+    "RVC/.index/Sayano_v2_40k.index",
+]
 BASE_MODELS = ["content-vec-best.safetensors", "rmvpe.pt"]
-UVR_MODELS = [
-    "UVR/HP5-vocals+instrumentals.pth",
-    "UVR/UVR-MDX-NET-vocal_FT.onnx",
-    "UVR/UVR-DeEcho-DeReverb.pth",
-    "UVR/MDX23C-8KFFT-InstVoc_HQ.ckpt",
+VITS_MODELS = ["VITS/pretrained_ljs.pth"]
+PRETRAINED_MODELS_G = [
+    "pretrained_v2/G48k.pth", "pretrained_v2/G32k.pth", "pretrained_v2/G40k.pth",
+    "pretrained_v2/f0G48k.pth", "pretrained_v2/f0G40k.pth", "pretrained_v2/f0G32k.pth",
+    "pretrained_v2/f0_RIN_E3_40k_G.pth",
+    "pretrained_v2/f0Ov2Super32kG.pth", "pretrained_v2/f0Ov2Super40kG.pth",
 ]
-PRETRAINED_MODELS = [
-    "pretrained_v2/f0D40k.pth", "pretrained_v2/f0G40k.pth",
-    "pretrained_v2/f0D48k.pth", "pretrained_v2/f0G48k.pth",
+PRETRAINED_MODELS_D = [
+    "pretrained_v2/D48k.pth", "pretrained_v2/D32k.pth", "pretrained_v2/D40k.pth",
+    "pretrained_v2/f0D48k.pth", "pretrained_v2/f0D40k.pth", "pretrained_v2/f0D32k.pth",
+    "pretrained_v2/f0_RIN_E3_40k_D.pth",
+    "pretrained_v2/f0Ov2Super32kD.pth", "pretrained_v2/f0Ov2Super40kD.pth",
 ]
+UVR_MODELS = MDX_MODELS + KARAFAN_MODELS + VR_MODELS
+PRETRAINED_MODELS = PRETRAINED_MODELS_G + PRETRAINED_MODELS_D
 
 
 def download_file(params: tuple[str, str], chunk_size: int = 1 << 20) -> bool:
