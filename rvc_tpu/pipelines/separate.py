@@ -359,6 +359,13 @@ def route_separator(model_path: str, **kwargs):
     'new' nets, demucs checkpoints → hybrid demucs, else the VR
     cascaded net."""
     name = os.path.basename(model_path).lower()
+    if "roformer" in name:
+        # catalog-listed but unrunnable in the reference too (no roformer
+        # code path exists there); fail with a clear message instead of a
+        # cryptic VR weight-load error
+        raise NotImplementedError(
+            "BS-RoFormer checkpoints are not supported yet (the reference "
+            "has no code path for them either)")
     if name.endswith((".th", ".yaml")) or "demucs" in name:
         return "demucs"
     if "mdx" in name:
