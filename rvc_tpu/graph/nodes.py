@@ -511,7 +511,6 @@ class UVR5Node:
 def _load_separator(kind: str, model_path: str, agg: float):
     key = get_hash("sep", kind, model_path)
     if key not in _CACHE:
-        from ..compat.torch_import import build_tree
         from ..pipelines.separate import MDXSeparator, VRSeparator
         from ..ops.bands import ModelParameters
 
