@@ -75,33 +75,52 @@ class AudioTranscriptionNode:
         return {"required": {"audio": ("AUDIO",), "model": ("WHISPER_MODEL",)},
                 "optional": {"chunk_seconds": ("INT", {"default": 30}),
                              "tokenizer_path": ("STRING", {"default": ""}),
-                             "language": ("STRING", {"default": ""})}}
+                             "language": ("STRING", {"default": ""}),
+                             "timestamps": (["chunk", "segment"],
+                                            {"default": "chunk"})}}
 
     def transcribe(self, audio, model, chunk_seconds: int = 30,
-                   tokenizer_path: str = "", language: str = ""):
+                   tokenizer_path: str = "", language: str = "",
+                   timestamps: str = "chunk"):
         import jax.numpy as jnp
 
         from .nodes import from_audio_input
         from ..io.audio import remix_audio
-        from ..models.whisper import WhisperDims, greedy_decode, log_mel_spectrogram
+        from ..models.whisper import (decode_with_timestamps, greedy_decode,
+                                      log_mel_spectrogram)
 
         wav, sr = from_audio_input(audio)
         mono, _ = remix_audio((wav, sr), target_sr=16000, norm=True)
         m = model() if callable(model) else model
         tokenizer = _load_tokenizer(tokenizer_path)
+
+        def to_text(token_ids):
+            if tokenizer:
+                return tokenizer.decode([t for t in token_ids if t < 50257])
+            return " ".join(str(t) for t in token_ids)
+
         chunks = []
         step = chunk_seconds * 16000
         for start in range(0, len(mono), step):
             seg = mono[start : start + step]
             seg = np.pad(seg, (0, 30 * 16000 - len(seg)))
             mel = log_mel_spectrogram(jnp.asarray(seg, jnp.float32)[None])
+            if timestamps == "segment":
+                # model-emitted timestamp tokens, 0.02 s resolution
+                # (reference HF pipeline return_timestamps=True)
+                off = start / 16000
+                segs = decode_with_timestamps(m["params"], m["dims"], mel,
+                                              language=language or None)[0]
+                for s0, s1, toks in segs:
+                    chunks.append({"text": to_text(toks).strip(),
+                                   "timestamp": (off + s0, off + s1)})
+                if segs:
+                    continue
+                # no timestamp pairs decoded → fall through to chunk-level
             tokens = greedy_decode(m["params"], m["dims"], mel,
                                    language=language or None)
-            text = tokenizer.decode(
-                [t for t in tokens[0].tolist() if t < 50257]
-            ) if tokenizer else " ".join(map(str, tokens[0].tolist()))
             chunks.append({
-                "text": text.strip(),
+                "text": to_text(tokens[0].tolist()).strip(),
                 "timestamp": (start / 16000, min((start + step) / 16000,
                                                  len(mono) / 16000)),
             })

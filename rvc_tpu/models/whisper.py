@@ -304,7 +304,7 @@ def detect_language(params, dims: WhisperDims, mel: jax.Array,
         raise ValueError("English-only model has no language tokens")
     model = Whisper(dims, dtype=dtype)
     audio = model.apply(params, mel, method=Whisper.embed_audio)
-    sot = dims.n_vocab - 51865 + 50258  # 50258 (v1/v2), 50259 (v3)
+    sot = 50258  # languages follow immediately (99, or 100 for v3)
     B = mel.shape[0]
     tokens = jnp.full((B, 1), sot, jnp.int32)
     logits = model.apply(params, tokens, audio, method=Whisper.logits)[:, 0]
@@ -314,6 +314,50 @@ def detect_language(params, dims: WhisperDims, mel: jax.Array,
     ids = jnp.argmax(probs, axis=-1)
     return (np.asarray(ids) + sot + 1,
             np.asarray(jnp.take_along_axis(probs, ids[:, None], 1)[:, 0]))
+
+
+def decode_with_timestamps(params, dims: WhisperDims, mel: jax.Array,
+                           language: str | None = None, max_len: int = 224,
+                           dtype=jnp.float32) -> list[list[tuple]]:
+    """Segment-level timestamps from the model's timestamp tokens (what
+    the reference's HF pipeline produces with return_timestamps=True,
+    custom_nodes/stt.py:162): decode WITHOUT the notimestamps token and
+    parse ``<|t0|> text <|t1|>`` pairs at 0.02 s resolution.
+
+    Returns per batch element a list of (start_s, end_s, [token ids]).
+    """
+    # multilingual layout: eot(50257), sot(50258), languages (99, or 100
+    # for v3's 51866 vocab), translate, transcribe, startoflm, startofprev,
+    # nospeech, notimestamps, then timestamp tokens every 0.02 s
+    sot, eot = 50258, 50257
+    n_lang = 100 if dims.n_vocab == 51866 else 99
+    transcribe = sot + n_lang + 2
+    ts_begin = sot + n_lang + 7
+    toks = greedy_decode(params, dims, mel,
+                         sot_sequence=(sot, sot + 1, transcribe),
+                         eot=eot, max_len=max_len, dtype=dtype,
+                         language=language)
+    out = []
+    for row in np.asarray(toks):
+        segments = []
+        start = None
+        text: list[int] = []
+        for t in row.tolist():
+            if t == eot:
+                break
+            if t >= ts_begin:
+                stamp = (t - ts_begin) * 0.02
+                if start is None:
+                    start = stamp
+                else:
+                    segments.append((start, stamp, text))
+                    start, text = None, []
+            elif t < eot:
+                text.append(t)
+        if start is not None and text:
+            segments.append((start, start + 0.02 * len(text), text))
+        out.append(segments)
+    return out
 
 
 def greedy_decode(params, dims: WhisperDims, mel: jax.Array,
@@ -330,8 +374,7 @@ def greedy_decode(params, dims: WhisperDims, mel: jax.Array,
             lang_ids, _ = detect_language(params, dims, mel, dtype=dtype)
             lang_tok = int(lang_ids[0])
         else:
-            sot = dims.n_vocab - 51865 + 50258
-            lang_tok = sot + 1 + LANGUAGE_CODES.index(language)
+            lang_tok = 50258 + 1 + LANGUAGE_CODES.index(language)
         sot_sequence = (sot_sequence[0], lang_tok, *sot_sequence[2:])
     audio = model.apply(params, mel, method=Whisper.embed_audio)
     B = mel.shape[0]

@@ -158,3 +158,49 @@ def test_whisper_detect_language(rng):
                      n_text_layer=1)
     with pytest.raises(ValueError, match="English-only"):
         detect_language(params, en, mel)
+
+
+def test_decode_with_timestamps(rng):
+    """Timestamp-token parsing: <|t0|> text <|t1|> pairs at 0.02 s steps
+    (reference behavior: HF pipeline return_timestamps=True)."""
+    from unittest import mock
+
+    from rvc_tpu.models import whisper as W
+
+    dims = WhisperDims(n_mels=8, n_audio_ctx=10, n_audio_state=16,
+                       n_audio_head=2, n_audio_layer=1, n_vocab=51865,
+                       n_text_ctx=32, n_text_state=16, n_text_head=2,
+                       n_text_layer=1)
+    ts = 50364  # timestamp_begin for the 51865 vocab
+    fake = np.array([[ts + 0, 101, 102, ts + 50, ts + 50, 103, ts + 100, 50257]])
+
+    with mock.patch.object(W, "greedy_decode", return_value=fake):
+        segs = W.decode_with_timestamps(None, dims, jnp.zeros((1, 20, 8)))
+    assert segs == [[(0.0, 1.0, [101, 102]), (1.0, 2.0, [103])]]
+
+    # unterminated final segment gets a synthesized end
+    fake2 = np.array([[ts + 10, 104, 105, 50257]])
+    with mock.patch.object(W, "greedy_decode", return_value=fake2):
+        segs2 = W.decode_with_timestamps(None, dims, jnp.zeros((1, 20, 8)))
+    (s0, e0, toks0), = segs2[0]
+    assert s0 == 0.2 and toks0 == [104, 105] and e0 > s0
+
+
+def test_decode_with_timestamps_end_to_end(rng):
+    """Real tiny model: segments are well-formed (monotonic, in-range)."""
+    import jax
+
+    from rvc_tpu.models.whisper import Whisper, decode_with_timestamps
+
+    dims = WhisperDims(n_mels=8, n_audio_ctx=10, n_audio_state=16,
+                       n_audio_head=2, n_audio_layer=1, n_vocab=51865,
+                       n_text_ctx=16, n_text_state=16, n_text_head=2,
+                       n_text_layer=1)
+    model = Whisper(dims)
+    mel = jnp.asarray(rng.standard_normal((1, 20, 8)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), mel, jnp.zeros((1, 3), jnp.int32))
+    segs = decode_with_timestamps(params, dims, mel, max_len=8)
+    assert len(segs) == 1
+    for s, e, toks in segs[0]:
+        assert 0 <= s <= e <= 31.0
+        assert all(t < 50257 for t in toks)
