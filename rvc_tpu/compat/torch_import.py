@@ -406,3 +406,83 @@ def vr_params_from_state_dict(state_dict) -> dict:
         return arr
 
     return {"params": transpose_convs(tree)}
+
+
+# ---------------------------------------------------------------------------
+# BS-RoFormer (.ckpt, lucidrains/MSST layout — the UVR community format)
+# ---------------------------------------------------------------------------
+
+
+def bs_roformer_params_from_state_dict(state_dict: Mapping[str, object]) -> dict:
+    """State-dict names map 1:1 through the generic path rule (the module
+    tree in models/bs_roformer.py mirrors the torch layout); rotary
+    frequency buffers are recomputed, not loaded."""
+    tree = build_tree(
+        state_dict,
+        skip=(r"rotary_embed\.", r"multi_stft", r"stft_window", r"window_fn"),
+    )
+    return {"params": tree}
+
+
+def bs_roformer_config_from_state_dict(state_dict: Mapping[str, object]):
+    """Infer the architecture hyperparameters from tensor shapes, so any
+    public checkpoint variant (mono/stereo, different depth/bands) loads
+    without a side-channel YAML."""
+    from ..models.bs_roformer import BSRoformerConfig
+
+    sd = {k: v for k, v in state_dict.items()}
+    dims_in = []
+    i = 0
+    while f"band_split.to_features.{i}.1.weight" in sd:
+        dims_in.append(int(sd[f"band_split.to_features.{i}.1.weight"].shape[1]))
+        i += 1
+    if not dims_in:
+        raise ValueError("not a BS-RoFormer state dict (no band_split keys)")
+    dim = int(sd["band_split.to_features.0.1.weight"].shape[0])
+    total = sum(dims_in)  # == 2 * channels * (n_fft // 2 + 1)
+    # channels: total = 2 * ch * bins with bins = n_fft//2+1 (odd) → ch is
+    # the largest of {1,2} dividing total/2 into an odd bins count
+    ch = 2 if (total // 4) % 2 == 1 else 1
+    bins = total // (2 * ch)
+    n_fft = (bins - 1) * 2
+    freqs_per_bands = tuple(d // (2 * ch) for d in dims_in)
+    depth = 0
+    while f"layers.{depth}.0.norm.gamma" in sd:
+        depth += 1
+    t_depth = 0
+    while f"layers.0.0.layers.{t_depth}.0.to_qkv.weight" in sd:
+        t_depth += 1
+    f_depth = 0
+    while f"layers.0.1.layers.{f_depth}.0.to_qkv.weight" in sd:
+        f_depth += 1
+    heads = int(sd["layers.0.0.layers.0.0.to_gates.weight"].shape[0])
+    dim_head = int(sd["layers.0.0.layers.0.0.to_qkv.weight"].shape[0]) // (3 * heads)
+    ff_mult = int(sd["layers.0.0.layers.0.1.net.1.weight"].shape[0]) // dim
+    num_stems = 0
+    while f"mask_estimators.{num_stems}.to_freqs.0.0.0.weight" in sd:
+        num_stems += 1
+    est_depth = 0
+    while f"mask_estimators.0.to_freqs.0.0.{2 * est_depth}.weight" in sd:
+        est_depth += 1
+    mlp_exp = 4
+    if est_depth > 1:
+        mlp_exp = int(sd["mask_estimators.0.to_freqs.0.0.0.weight"].shape[0]) // dim
+    return BSRoformerConfig(
+        dim=dim, depth=depth, stereo=ch == 2, num_stems=num_stems,
+        time_transformer_depth=t_depth, freq_transformer_depth=f_depth,
+        freqs_per_bands=freqs_per_bands, dim_head=dim_head, heads=heads,
+        ff_mult=ff_mult, n_fft=n_fft, mask_estimator_depth=est_depth,
+        mlp_expansion_factor=mlp_exp,
+    )
+
+
+def load_bs_roformer(path: str):
+    """Returns (params, BSRoformerConfig) from a UVR/MSST .ckpt file."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k[6:] if k.startswith("model.") else k: v for k, v in sd.items()}
+    cfg = bs_roformer_config_from_state_dict(sd)
+    return bs_roformer_params_from_state_dict(sd), cfg

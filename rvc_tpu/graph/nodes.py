@@ -524,6 +524,13 @@ def _load_separator(kind: str, model_path: str, agg: float):
             # (compat/onnx_import.convtdf_params_from_onnx)
             _CACHE[key] = MDXSeparator(model_path)
             return _CACHE[key]
+        if kind == "bs_roformer":
+            from ..compat.torch_import import load_bs_roformer
+            from ..models.bs_roformer import BSRoformerSeparator
+
+            params, cfg = load_bs_roformer(model_path)
+            _CACHE[key] = BSRoformerSeparator(params, cfg)
+            return _CACHE[key]
         import jax
         import torch
 

@@ -360,12 +360,9 @@ def route_separator(model_path: str, **kwargs):
     cascaded net."""
     name = os.path.basename(model_path).lower()
     if "roformer" in name:
-        # catalog-listed but unrunnable in the reference too (no roformer
-        # code path exists there); fail with a clear message instead of a
-        # cryptic VR weight-load error
-        raise NotImplementedError(
-            "BS-RoFormer checkpoints are not supported yet (the reference "
-            "has no code path for them either)")
+        # coverage BEYOND the reference: its catalog lists these checkpoints
+        # (settings/downloader.py) but has no code path that can run them
+        return "bs_roformer"
     if name.endswith((".th", ".yaml")) or "demucs" in name:
         return "demucs"
     if "mdx" in name:
