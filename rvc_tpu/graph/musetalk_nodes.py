@@ -97,13 +97,15 @@ class MuseTalkNode:
             "unet_path": ("STRING", {"default": ""}),
         }, "optional": {
             "face_model_path": ("STRING", {"default": ""}),
+            "parsing_model_path": ("STRING", {"default": ""}),
             "coords": ("COORDS",),
             "fps": ("FLOAT", {"default": 25.0}),
             "batch_size": ("INT", {"default": 8}),
         }}
 
     def process(self, images, audio, whisper, vae_path, unet_path,
-                face_model_path="", coords=None, fps=25.0, batch_size=8):
+                face_model_path="", parsing_model_path="", coords=None,
+                fps=25.0, batch_size=8):
         import torch
 
         from .nodes import from_audio_input
@@ -125,7 +127,17 @@ class MuseTalkNode:
         if face_model_path:
             face_params = s3fd_params_from_state_dict(
                 torch.load(face_model_path, map_location="cpu", weights_only=False))
-        pipe = MuseTalkPipeline(vae_params, unet_params, a2f, face_params)
+        parse_params = None
+        if parsing_model_path:
+            # BiSeNet 79999_iter.pth → jaw-region parsed blend
+            # (reference blending.py:23-59 via face_parsing/__init__.py)
+            from ..models.musetalk.face import bisenet_params_from_state_dict
+
+            parse_params = bisenet_params_from_state_dict(
+                torch.load(parsing_model_path, map_location="cpu",
+                           weights_only=False))
+        pipe = MuseTalkPipeline(vae_params, unet_params, a2f, face_params,
+                                parse_params)
         frames = [np.asarray(f) for f in np.asarray(images)]
         frames = [(f * 255).astype(np.uint8) if f.dtype != np.uint8 else f
                   for f in frames]

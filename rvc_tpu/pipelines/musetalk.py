@@ -109,6 +109,99 @@ def blend_face(frame: np.ndarray, face: np.ndarray, box: tuple[int, int, int, in
     return out
 
 
+class FaceParser:
+    """BiSeNet face segmentation → binary face mask (reference
+    lib/musetalk/utils/face_parsing/__init__.py:30-47: resize 512,
+    imagenet-normalize, argmax over 19 classes, keep classes 1-13)."""
+
+    _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    _STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def __init__(self, params, dtype: Any = jnp.float32, size: int = 512):
+        from ..models.musetalk.face import BiSeNet
+
+        self.params = params
+        self.size = size
+        model = BiSeNet(dtype=dtype)
+        self._apply = jax.jit(lambda p, x: jnp.argmax(model.apply(p, x), axis=-1))
+
+    def __call__(self, images: list[np.ndarray]) -> list[np.ndarray]:
+        """uint8 RGB crops (any sizes) → uint8 0/255 masks at input sizes;
+        one batched device dispatch for the whole group."""
+        import cv2
+
+        s = self.size
+        batch = np.stack([
+            (cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
+             .astype(np.float32) / 255.0 - self._MEAN) / self._STD
+            for im in images
+        ])
+        cls = np.asarray(self._apply(self.params, jnp.asarray(batch)))
+        masks = ((cls >= 1) & (cls <= 13)).astype(np.uint8) * 255
+        return [
+            cv2.resize(m, (im.shape[1], im.shape[0]),
+                       interpolation=cv2.INTER_NEAREST)
+            for m, im in zip(masks, images)
+        ]
+
+
+def _crop_box(box: tuple[int, int, int, int], expand: float):
+    """Square expanded crop box (reference blending.py get_crop_box)."""
+    x, y, x1, y1 = box
+    xc, yc = (x + x1) // 2, (y + y1) // 2
+    s = int(max(x1 - x, y1 - y) // 2 * expand)
+    return (xc - s, yc - s, xc + s, yc + s), s
+
+
+def _crop_padded(img: np.ndarray, box) -> np.ndarray:
+    """PIL-style crop: out-of-bounds area is zero-filled."""
+    x0, y0, x1, y1 = box
+    h, w = img.shape[:2]
+    out = np.zeros((y1 - y0, x1 - x0) + img.shape[2:], img.dtype)
+    sx0, sy0 = max(x0, 0), max(y0, 0)
+    sx1, sy1 = min(x1, w), min(y1, h)
+    if sx1 > sx0 and sy1 > sy0:
+        out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = img[sy0:sy1, sx0:sx1]
+    return out
+
+
+def blend_face_parsed(frame: np.ndarray, face: np.ndarray,
+                      box: tuple[int, int, int, int], mask_crop: np.ndarray,
+                      upper_boundary_ratio: float = 0.5,
+                      expand: float = 1.2) -> np.ndarray:
+    """Face-parsing-feathered paste-back (reference blending.py:23-59):
+    segment the expanded square crop, keep the mask inside the face box,
+    zero the top ``upper_boundary_ratio`` of the crop (only the talking
+    jaw region blends), Gaussian-feather, composite."""
+    import cv2
+
+    x, y, x1, y1 = box
+    cbox, _ = _crop_box(box, expand)
+    x_s, y_s, x_e, y_e = cbox
+    face_large = _crop_padded(frame, cbox)
+    ch, cw = face_large.shape[:2]
+
+    # mask restricted to the face box inside the crop
+    mask = np.zeros((ch, cw), np.uint8)
+    sub = mask_crop[y - y_s : y1 - y_s, x - x_s : x1 - x_s]
+    mask[y - y_s : y1 - y_s, x - x_s : x1 - x_s] = sub
+    mask[: int(ch * upper_boundary_ratio)] = 0
+    ks = int(0.1 * cw // 2 * 2) + 1
+    mask = cv2.GaussianBlur(mask, (ks, ks), 0).astype(np.float32) / 255.0
+
+    face_resized = cv2.resize(face, (x1 - x, y1 - y))
+    face_large[y - y_s : y1 - y_s, x - x_s : x1 - x_s] = face_resized
+
+    out = frame.copy()
+    dx0, dy0 = max(x_s, 0), max(y_s, 0)
+    dx1, dy1 = min(x_e, frame.shape[1]), min(y_e, frame.shape[0])
+    m = mask[dy0 - y_s : dy1 - y_s, dx0 - x_s : dx1 - x_s, None]
+    src = face_large[dy0 - y_s : dy1 - y_s, dx0 - x_s : dx1 - x_s].astype(np.float32)
+    dst = frame[dy0:dy1, dx0:dx1].astype(np.float32)
+    out[dy0:dy1, dx0:dx1] = (m * src + (1 - m) * dst).astype(np.uint8)
+    return out
+
+
 @dataclass
 class MuseTalkPipeline:
     """End-to-end lip sync over a frame sequence."""
@@ -117,9 +210,12 @@ class MuseTalkPipeline:
     unet_params: Any
     whisper: Audio2Feature
     face_params: Any = None  # S3FD params; None → caller provides boxes
+    parse_params: Any = None  # BiSeNet params; None → bbox-feathered blend
     dtype: Any = jnp.float32
 
     def __post_init__(self):
+        self.parser = (FaceParser(self.parse_params, dtype=self.dtype)
+                       if self.parse_params is not None else None)
         from ..models.musetalk.unet import UNet2DCondition, UNetConfig, positional_encoding
         from ..models.musetalk.vae import AutoencoderKL
 
@@ -186,6 +282,16 @@ class MuseTalkPipeline:
             audio_feat = self._pe(jnp.asarray(np.stack(feats), jnp.float32))
             pred = self._unet_step(self.unet_params, lat_in, audio_feat.astype(self.dtype))
             imgs = postprocess_image(np.asarray(self._decode(self.vae_params, pred)))
-            for j, i in enumerate(group):
-                out_frames.append(blend_face(frames[i], imgs[j], boxes[i]))
+            if self.parser is not None:
+                # parse the expanded square crops of the whole group in one
+                # batched dispatch, then jaw-region paste-back
+                larges = [_crop_padded(frames[i], _crop_box(boxes[i], 1.2)[0])
+                          for i in group]
+                masks = self.parser(larges)
+                for j, i in enumerate(group):
+                    out_frames.append(blend_face_parsed(
+                        frames[i], imgs[j], boxes[i], masks[j]))
+            else:
+                for j, i in enumerate(group):
+                    out_frames.append(blend_face(frames[i], imgs[j], boxes[i]))
         return out_frames

@@ -204,3 +204,46 @@ def test_decode_with_timestamps_end_to_end(rng):
     for s, e, toks in segs[0]:
         assert 0 <= s <= e <= 31.0
         assert all(t < 50257 for t in toks)
+
+
+def test_face_parser_and_parsed_blend(rng):
+    """FaceParser batches BiSeNet over crops; blend_face_parsed only
+    touches the lower (jaw) region of the expanded crop (reference
+    blending.py:23-59 semantics)."""
+    import jax
+
+    from rvc_tpu.models.musetalk.face import BiSeNet
+    from rvc_tpu.pipelines.musetalk import (
+        FaceParser,
+        _crop_box,
+        _crop_padded,
+        blend_face_parsed,
+    )
+
+    net = BiSeNet(n_classes=19)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    parser = FaceParser(params, size=64)
+    crops = [np.full((40, 40, 3), 128, np.uint8),
+             np.full((32, 48, 3), 64, np.uint8)]
+    masks = parser(crops)
+    assert masks[0].shape == (40, 40) and masks[1].shape == (32, 48)
+    assert all(set(np.unique(m)) <= {0, 255} for m in masks)
+
+    frame = np.zeros((64, 64, 3), np.uint8)
+    face = np.full((20, 20, 3), 255, np.uint8)
+    box = (10, 10, 30, 30)
+    cbox, _ = _crop_box(box, 1.2)
+    mask_crop = np.full(_crop_padded(frame, cbox).shape[:2], 255, np.uint8)
+    out = blend_face_parsed(frame, face, box, mask_crop)
+    assert out.shape == frame.shape
+    # top half of the crop is zeroed -> upper face region stays black
+    assert out[11, 20].max() == 0
+    # jaw region pasted
+    assert out[28, 20].max() > 100
+    # far outside untouched
+    assert out[60, 60].max() == 0
+
+    # all-zero parse mask -> frame unchanged
+    out2 = blend_face_parsed(frame, face, box, np.zeros_like(mask_crop))
+    np.testing.assert_array_equal(out2, frame)
