@@ -431,6 +431,11 @@ def bs_roformer_config_from_state_dict(state_dict: Mapping[str, object]):
     from ..models.bs_roformer import BSRoformerConfig
 
     sd = {k: v for k, v in state_dict.items()}
+    if any("freq_indices" in k for k in sd):
+        raise ValueError(
+            "this looks like a Mel-Band RoFormer checkpoint (freq_indices "
+            "buffer present); overlapping mel bands are a different "
+            "architecture — load it with the mel_band_roformer importer")
     dims_in = []
     i = 0
     while f"band_split.to_features.{i}.1.weight" in sd:
@@ -440,15 +445,37 @@ def bs_roformer_config_from_state_dict(state_dict: Mapping[str, object]):
         raise ValueError("not a BS-RoFormer state dict (no band_split keys)")
     dim = int(sd["band_split.to_features.0.1.weight"].shape[0])
     total = sum(dims_in)  # == 2 * channels * (n_fft // 2 + 1)
-    # channels: total = 2 * ch * bins with bins = n_fft//2+1 (odd) → ch is
-    # the largest of {1,2} dividing total/2 into an odd bins count
-    ch = 2 if (total // 4) % 2 == 1 else 1
+    # channels: total = 2 * ch * bins with bins = n_fft//2+1, which is odd
+    # for every even n_fft — so exactly one of ch∈{1,2} yields an odd,
+    # integral bins count and per-band widths divisible by 2·ch. Validate
+    # rather than guess (a mono checkpoint with odd total//4 must not be
+    # silently loaded as stereo with halved n_fft).
+    candidates = [
+        ch for ch in (1, 2)
+        if total % (2 * ch) == 0
+        and (total // (2 * ch)) % 2 == 1
+        and all(d % (2 * ch) == 0 for d in dims_in)
+    ]
+    if len(candidates) != 1:
+        raise ValueError(
+            f"cannot infer channel count from band widths {dims_in} "
+            f"(total={total}): no unique ch in {{1,2}} gives an odd "
+            "n_fft//2+1 bin count")
+    ch = candidates[0]
     bins = total // (2 * ch)
     n_fft = (bins - 1) * 2
     freqs_per_bands = tuple(d // (2 * ch) for d in dims_in)
+    # upstream builds the axial transformers with norm_output=False, so
+    # real checkpoints have no layers.L.{0,1}.norm.gamma keys — infer
+    # depth from the attention weights, which always exist.
     depth = 0
-    while f"layers.{depth}.0.norm.gamma" in sd:
+    while f"layers.{depth}.0.layers.0.0.to_qkv.weight" in sd:
         depth += 1
+    if depth == 0:
+        raise ValueError(
+            "no transformer layers found (layers.0.0.layers.0.0.to_qkv."
+            "weight missing) — unexpected BS-RoFormer state-dict layout")
+    norm_output = "layers.0.0.norm.gamma" in sd
     t_depth = 0
     while f"layers.0.0.layers.{t_depth}.0.to_qkv.weight" in sd:
         t_depth += 1
@@ -472,12 +499,169 @@ def bs_roformer_config_from_state_dict(state_dict: Mapping[str, object]):
         time_transformer_depth=t_depth, freq_transformer_depth=f_depth,
         freqs_per_bands=freqs_per_bands, dim_head=dim_head, heads=heads,
         ff_mult=ff_mult, n_fft=n_fft, mask_estimator_depth=est_depth,
-        mlp_expansion_factor=mlp_exp,
+        mlp_expansion_factor=mlp_exp, transformer_norm_output=norm_output,
     )
+
+
+def assert_params_match_model(params: Mapping, init_fn, *example_args,
+                              what: str = "model") -> None:
+    """Loudly fail if an imported param tree doesn't exactly match the
+    module tree (missing keys → the model would silently run with
+    untrained submodules; extra keys → wrong-layout checkpoint)."""
+    import jax
+
+    expected = jax.eval_shape(init_fn, *example_args)
+    exp = {"/".join(map(str, p)): v.shape
+           for p, v in jax.tree_util.tree_flatten_with_path(expected)[0]}
+    got = {"/".join(map(str, p)): tuple(getattr(v, "shape", ()))
+           for p, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+
+    def _name(path: str) -> str:
+        return path.replace("DictKey(key='", "").replace("')", "")
+
+    exp = {_name(k): tuple(v) for k, v in exp.items()}
+    got = {_name(k): tuple(v) for k, v in got.items()}
+    missing = sorted(set(exp) - set(got))
+    extra = sorted(set(got) - set(exp))
+    badshape = sorted(k for k in set(exp) & set(got) if exp[k] != got[k])
+    if missing or extra or badshape:
+        msg = [f"imported {what} params do not match the module tree:"]
+        if missing:
+            msg.append(f"  missing ({len(missing)}): {missing[:8]}")
+        if extra:
+            msg.append(f"  unexpected ({len(extra)}): {extra[:8]}")
+        if badshape:
+            msg.append("  shape mismatches: " + ", ".join(
+                f"{k} {got[k]} != {exp[k]}" for k in badshape[:8]))
+        raise ValueError("\n".join(msg))
+
+
+def mel_roformer_config_from_state_dict(state_dict: Mapping[str, object]):
+    """Infer a MelRoformerConfig from tensor shapes (+ the ``freq_indices``
+    buffer when the checkpoint carries it; recomputed from the slaney mel
+    filterbank pattern otherwise, validated against the band widths)."""
+    from ..models.mel_roformer import MelRoformerConfig, mel_band_indices
+
+    sd = {k: v for k, v in state_dict.items()}
+    dims_in = []
+    i = 0
+    while f"band_split.to_features.{i}.1.weight" in sd:
+        dims_in.append(int(sd[f"band_split.to_features.{i}.1.weight"].shape[1]))
+        i += 1
+    if not dims_in:
+        raise ValueError("not a Mel-Band RoFormer state dict (no band_split keys)")
+    dim = int(sd["band_split.to_features.0.1.weight"].shape[0])
+    widths = tuple(d // 2 for d in dims_in)  # complex pairs → entry counts
+    num_bands = len(widths)
+
+    freq_indices = None
+    for key in ("freq_indices", "model.freq_indices"):
+        if key in sd:
+            freq_indices = tuple(int(v) for v in np.asarray(sd[key]).reshape(-1))
+            break
+    if freq_indices is not None:
+        FS = max(freq_indices) + 1
+        idxset = set(freq_indices)
+        # stereo iff every entry's channel sibling (idx ^ 1) is also present
+        # and FS splits into an odd bin count over 2 channels
+        stereo = (FS % 2 == 0 and (FS // 2) % 2 == 1
+                  and all((v ^ 1) in idxset for v in freq_indices))
+        ch = 2 if stereo else 1
+        bins = FS // ch
+        n_fft = (bins - 1) * 2
+    else:
+        # no buffer: try both channel counts against the recomputed pattern
+        match = None
+        for ch in (2, 1):
+            if all(w % ch == 0 for w in widths):
+                for n_fft in (2048, 4096, 1024):
+                    idx, w = mel_band_indices(44100, n_fft, num_bands, ch)
+                    if w == widths:
+                        match = (idx, ch, n_fft)
+                        break
+            if match:
+                break
+        if match is None:
+            raise ValueError(
+                f"cannot reconstruct mel band layout for widths {widths[:8]}…; "
+                "checkpoint lacks a freq_indices buffer and no standard "
+                "(sr=44100, n_fft∈{1024,2048,4096}) layout matches")
+        freq_indices, ch, n_fft = match
+        stereo = ch == 2
+
+    depth = 0
+    while f"layers.{depth}.0.layers.0.0.to_qkv.weight" in sd:
+        depth += 1
+    if depth == 0:
+        raise ValueError("no transformer layers found in mel roformer state dict")
+    norm_output = "layers.0.0.norm.gamma" in sd
+    t_depth = 0
+    while f"layers.0.0.layers.{t_depth}.0.to_qkv.weight" in sd:
+        t_depth += 1
+    f_depth = 0
+    while f"layers.0.1.layers.{f_depth}.0.to_qkv.weight" in sd:
+        f_depth += 1
+    heads = int(sd["layers.0.0.layers.0.0.to_gates.weight"].shape[0])
+    dim_head = int(sd["layers.0.0.layers.0.0.to_qkv.weight"].shape[0]) // (3 * heads)
+    ff_mult = int(sd["layers.0.0.layers.0.1.net.1.weight"].shape[0]) // dim
+    num_stems = 0
+    while f"mask_estimators.{num_stems}.to_freqs.0.0.0.weight" in sd:
+        num_stems += 1
+    est_depth = 0
+    while f"mask_estimators.0.to_freqs.0.0.{2 * est_depth}.weight" in sd:
+        est_depth += 1
+    mlp_exp = 4
+    if est_depth > 1:
+        mlp_exp = int(sd["mask_estimators.0.to_freqs.0.0.0.weight"].shape[0]) // dim
+    return MelRoformerConfig(
+        dim=dim, depth=depth, stereo=stereo, num_stems=num_stems,
+        time_transformer_depth=t_depth, freq_transformer_depth=f_depth,
+        num_bands=num_bands, dim_head=dim_head, heads=heads, ff_mult=ff_mult,
+        n_fft=n_fft, mask_estimator_depth=est_depth,
+        mlp_expansion_factor=mlp_exp, transformer_norm_output=norm_output,
+        freq_indices=freq_indices, band_widths=widths,
+    )
+
+
+def load_mel_roformer(path: str):
+    """Returns (params, MelRoformerConfig) from a UVR/MSST .ckpt file."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k[6:] if k.startswith("model.") else k: v for k, v in sd.items()}
+    cfg = mel_roformer_config_from_state_dict(sd)
+    tree = build_tree(
+        sd,
+        skip=(r"rotary_embed\.", r"multi_stft", r"stft_window", r"window_fn",
+              r"freq_indices", r"freqs_per_band", r"num_freqs_per_band",
+              r"num_bands_per_freq"),
+    )
+    params = {"params": tree}
+    from ..models.mel_roformer import MelBandRoformer
+
+    model = MelBandRoformer(cfg)
+    FS = (cfg.n_fft // 2 + 1) * cfg.audio_channels
+    assert_params_match_model(
+        params,
+        functools.partial(model.init, jax.random.PRNGKey(0)),
+        jnp.zeros((1, 8, FS, 2)),
+        what="mel_band_roformer",
+    )
+    return params, cfg
 
 
 def load_bs_roformer(path: str):
     """Returns (params, BSRoformerConfig) from a UVR/MSST .ckpt file."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
@@ -485,4 +669,15 @@ def load_bs_roformer(path: str):
         sd = sd["state_dict"]
     sd = {k[6:] if k.startswith("model.") else k: v for k, v in sd.items()}
     cfg = bs_roformer_config_from_state_dict(sd)
-    return bs_roformer_params_from_state_dict(sd), cfg
+    params = bs_roformer_params_from_state_dict(sd)
+    from ..models.bs_roformer import BSRoformer
+
+    model = BSRoformer(cfg)
+    FS = (cfg.n_fft // 2 + 1) * cfg.audio_channels
+    assert_params_match_model(
+        params,
+        functools.partial(model.init, jax.random.PRNGKey(0)),
+        jnp.zeros((1, 8, FS, 2)),
+        what="bs_roformer",
+    )
+    return params, cfg

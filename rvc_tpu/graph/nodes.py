@@ -531,6 +531,13 @@ def _load_separator(kind: str, model_path: str, agg: float):
             params, cfg = load_bs_roformer(model_path)
             _CACHE[key] = BSRoformerSeparator(params, cfg)
             return _CACHE[key]
+        if kind == "mel_roformer":
+            from ..compat.torch_import import load_mel_roformer
+            from ..models.mel_roformer import MelRoformerSeparator
+
+            params, cfg = load_mel_roformer(model_path)
+            _CACHE[key] = MelRoformerSeparator(params, cfg)
+            return _CACHE[key]
         import jax
         import torch
 

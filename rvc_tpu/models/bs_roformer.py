@@ -16,14 +16,15 @@ mask estimators → complex mask multiply → iSTFT.
 TPU-first mapping:
   * STFT/iSTFT are DFT-matmul form (ops/stft.py) — MXU work, frame-major
     (B, T, F) layout (torch is (F, T)).
-  * the band-split "ragged" frequency axis is materialized as ONE gather
-    into a (bands, max_band_width) padded matrix so embedding/mask become
-    two dense einsums instead of 62 tiny per-band matmuls.
+  * the band-split ragged frequency axis is handled as a per-band loop of
+    Linear modules (62 for the 1025-bin layout); XLA fuses the small
+    matmuls per trace, and the transformer stack dominates runtime. (A
+    padded dense-einsum band gather is a possible future optimization.)
   * axial attention = reshape to (B·bands, T, D) / (B·T, bands, D); both
     sequence axes are short (≤ ~800), so plain softmax attention tiles
     cleanly onto the MXU; rotary tables are baked per sequence length.
   * chunk inference batches overlapped windows into one dispatch
-    (overlap-add with a hann^2 window), no per-chunk host round trips.
+    (overlap-add with a sqrt-hann window), no per-chunk host round trips.
 """
 from __future__ import annotations
 
@@ -64,6 +65,11 @@ class BSRoformerConfig:
     mlp_expansion_factor: int = 4
     rotary_theta: float = 10000.0
     sample_rate: int = 44100
+    # upstream lucidrains builds the axial time/freq Transformers with
+    # norm_output=False (the output norm is nn.Identity; only the single
+    # top-level final_norm exists). Public UVR/MSST checkpoints therefore
+    # have NO layers.L.{0,1}.norm.gamma keys.
+    transformer_norm_output: bool = False
 
     @property
     def audio_channels(self) -> int:
@@ -156,8 +162,10 @@ class FeedForward(nn.Module):
 
 
 class Transformer(nn.Module):
-    """A stack of [Attention, FeedForward] blocks + final RMSNorm
-    (lucidrains Transformer; per-axis depth is 1 in public checkpoints)."""
+    """A stack of [Attention, FeedForward] blocks (lucidrains Transformer;
+    per-axis depth is 1 in public checkpoints). The trailing RMSNorm only
+    exists when ``norm_output=True``; BS-RoFormer builds its axial
+    transformers with norm_output=False, so the default is Identity."""
 
     cfg: BSRoformerConfig
     depth: int
@@ -170,27 +178,29 @@ class Transformer(nn.Module):
                               name=f"layers_{d}_0")(x, cos, sin)
             x = x + FeedForward(self.cfg.dim, self.cfg.ff_mult, dtype=self.dtype,
                                 name=f"layers_{d}_1")(x)
-        return RMSNorm(self.cfg.dim, dtype=self.dtype, name="norm")(x)
+        if self.cfg.transformer_norm_output:
+            x = RMSNorm(self.cfg.dim, dtype=self.dtype, name="norm")(x)
+        return x
 
 
 class BandSplit(nn.Module):
-    """Per-band RMSNorm + Linear embedding, executed as dense padded
-    einsums (one gather + one matmul instead of 62 tiny ones)."""
+    """Per-band RMSNorm + Linear embedding (one small matmul per band;
+    XLA fuses the per-trace loop — the transformer stack dominates)."""
 
-    cfg: BSRoformerConfig
+    dims_in: tuple[int, ...]
+    dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
         # feats: (B, T, sum(dims_in)) ragged-concat band features
-        c = self.cfg
         outs = []
         off = 0
-        for i, din in enumerate(c.dims_in):
+        for i, din in enumerate(self.dims_in):
             band = feats[..., off : off + din]
             off += din
             band = RMSNorm(din, dtype=self.dtype, name=f"to_features_{i}_0")(band)
-            outs.append(Linear(din, c.dim, dtype=self.dtype,
+            outs.append(Linear(din, self.dim, dtype=self.dtype,
                                name=f"to_features_{i}_1")(band))
         return jnp.stack(outs, axis=2)  # (B, T, bands, dim)
 
@@ -198,18 +208,19 @@ class BandSplit(nn.Module):
 class MaskEstimator(nn.Module):
     """Per-band MLP (depth linears, tanh between) + GLU → complex mask."""
 
-    cfg: BSRoformerConfig
+    dims_in: tuple[int, ...]
+    dim: int
+    hidden: int
+    depth: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         # x: (B, T, bands, dim) -> (B, T, sum(dims_in))
-        c = self.cfg
-        hidden = c.dim * c.mlp_expansion_factor
         outs = []
-        for i, din in enumerate(c.dims_in):
+        for i, din in enumerate(self.dims_in):
             h = x[:, :, i]
-            dims = (c.dim,) + (hidden,) * (c.mask_estimator_depth - 1) + (din * 2,)
+            dims = (self.dim,) + (self.hidden,) * (self.depth - 1) + (din * 2,)
             for j, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
                 h = Linear(a, b, dtype=self.dtype,
                            name=f"to_freqs_{i}_0_{2 * j}")(h)
@@ -238,7 +249,8 @@ class BSRoformer(nn.Module):
         c = self.cfg
         B, T, FS, _ = spec_ri.shape
         feats = spec_ri.reshape(B, T, FS * 2).astype(self.dtype)
-        x = BandSplit(c, dtype=self.dtype, name="band_split")(feats)
+        x = BandSplit(c.dims_in, c.dim, dtype=self.dtype,
+                      name="band_split")(feats)
 
         tcos, tsin = _rotary_tables(T, c.dim_head, c.rotary_theta)
         fcos, fsin = _rotary_tables(c.num_bands, c.dim_head, c.rotary_theta)
@@ -262,7 +274,8 @@ class BSRoformer(nn.Module):
 
         masks = []
         for s in range(c.num_stems):
-            m = MaskEstimator(c, dtype=self.dtype,
+            m = MaskEstimator(c.dims_in, c.dim, c.dim * c.mlp_expansion_factor,
+                              c.mask_estimator_depth, dtype=self.dtype,
                               name=f"mask_estimators_{s}")(x)
             masks.append(m.reshape(B, T, FS, 2))
         mask = jnp.stack(masks)  # (S, B, T, FS, 2)
@@ -308,14 +321,18 @@ def _unpack_spec(spec: jax.Array, cfg: BSRoformerConfig, length: int):
 
 class BSRoformerSeparator:
     """Chunked overlap-add inference wrapper (UVR-style: 8 s windows,
-    50% overlap, hann² weighting), all windows in one batched dispatch."""
+    50% overlap, sqrt-hann weighting — the accumulated window sum is
+    divided out, so the OLA is exactly normalized), all windows in one
+    batched dispatch."""
+
+    model_cls: Any = None  # resolved to BSRoformer below (subclass hook)
 
     def __init__(self, params, cfg: BSRoformerConfig | None = None,
                  dtype: Any = jnp.float32, segment_seconds: float = 8.0,
                  overlap: float = 0.5, max_batch: int = 16):
         self.cfg = cfg or BSRoformerConfig()
         self.params = params
-        self.model = BSRoformer(self.cfg, dtype=dtype)
+        self.model = type(self).model_cls(self.cfg, dtype=dtype)
         # align the segment to the hop so frame counts are static
         hop = self.cfg.hop_length
         seg = int(round(segment_seconds * self.cfg.sample_rate / hop)) * hop
@@ -375,6 +392,9 @@ class BSRoformerSeparator:
             inst = mix[:, : v.shape[1]] - v
             out["instrumentals"] = _stereo_int16(inst, self.samplerate)
         return out
+
+
+BSRoformerSeparator.model_cls = BSRoformer
 
 
 def _stereo_int16(stem: np.ndarray, sr: int):

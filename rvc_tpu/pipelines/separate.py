@@ -361,7 +361,11 @@ def route_separator(model_path: str, **kwargs):
     name = os.path.basename(model_path).lower()
     if "roformer" in name:
         # coverage BEYOND the reference: its catalog lists these checkpoints
-        # (settings/downloader.py) but has no code path that can run them
+        # (settings/downloader.py) but has no code path that can run them.
+        # Mel-Band RoFormer (overlapping mel bands, e.g. Kim_MelBandRoformer)
+        # is a distinct architecture from band-split RoFormer.
+        if "mel" in name:
+            return "mel_roformer"
         return "bs_roformer"
     if name.endswith((".th", ".yaml")) or "demucs" in name:
         return "demucs"

@@ -22,6 +22,15 @@ CFG = BSRoformerConfig(
     n_fft=16, hop_length=8, win_length=16,
     mask_estimator_depth=2, mlp_expansion_factor=2,
 )
+# real UVR/MSST checkpoints: norm_output=False (per-transformer norm is
+# nn.Identity, no layers.L.{0,1}.norm.gamma keys)
+CFG_NORM = BSRoformerConfig(
+    dim=32, depth=2, stereo=True, num_stems=2,
+    freqs_per_bands=(2, 3, 4), dim_head=8, heads=2, ff_mult=2,
+    n_fft=16, hop_length=8, win_length=16,
+    mask_estimator_depth=2, mlp_expansion_factor=2,
+    transformer_norm_output=True,
+)
 
 
 def _build_torch_model(cfg):
@@ -94,12 +103,14 @@ def _build_torch_model(cfg):
         return FeedForward(dim, mult)
 
     class Transformer(nn.Module):
-        def __init__(self, dim, depth, heads, dim_head, mult):
+        # upstream lucidrains builds the axial transformers with
+        # norm_output=False → the trailing norm is nn.Identity (no params)
+        def __init__(self, dim, depth, heads, dim_head, mult, norm_output):
             super().__init__()
             self.layers = nn.ModuleList(
                 [nn.ModuleList([Attention(dim, heads, dim_head),
                                 feed_forward(dim, mult)]) for _ in range(depth)])
-            self.norm = RMSNorm(dim)
+            self.norm = RMSNorm(dim) if norm_output else nn.Identity()
 
         def forward(self, x):
             for attn, ff in self.layers:
@@ -117,9 +128,11 @@ def _build_torch_model(cfg):
             self.layers = nn.ModuleList(
                 [nn.ModuleList([
                     Transformer(c.dim, c.time_transformer_depth, c.heads,
-                                c.dim_head, c.ff_mult),
+                                c.dim_head, c.ff_mult,
+                                c.transformer_norm_output),
                     Transformer(c.dim, c.freq_transformer_depth, c.heads,
-                                c.dim_head, c.ff_mult),
+                                c.dim_head, c.ff_mult,
+                                c.transformer_norm_output),
                 ]) for _ in range(c.depth)])
             self.final_norm = RMSNorm(c.dim)
             hidden = c.dim * c.mlp_expansion_factor
@@ -167,38 +180,93 @@ def _build_torch_model(cfg):
             mc = torch.view_as_complex(mask.contiguous())
             return torch.view_as_real(mc * sc.unsqueeze(0))
 
-    return Model(CFG)
+    return Model(cfg)
 
 
-def test_forward_matches_torch_layout(rng):
+@pytest.mark.parametrize("ref_cfg", [CFG, CFG_NORM],
+                         ids=["norm_output_false", "norm_output_true"])
+def test_forward_matches_torch_layout(rng, ref_cfg):
     torch = pytest.importorskip("torch")
     from rvc_tpu.compat.torch_import import (
+        assert_params_match_model,
         bs_roformer_config_from_state_dict,
         bs_roformer_params_from_state_dict,
     )
 
     torch.manual_seed(0)
-    ref = _build_torch_model(CFG)
+    ref = _build_torch_model(ref_cfg)
     sd = ref.state_dict()
 
     # config round-trips from shapes alone
     cfg = bs_roformer_config_from_state_dict(
         {k: v.numpy() for k, v in sd.items()})
-    assert cfg.dim == CFG.dim and cfg.depth == CFG.depth
-    assert cfg.freqs_per_bands == CFG.freqs_per_bands
-    assert cfg.heads == CFG.heads and cfg.dim_head == CFG.dim_head
-    assert cfg.num_stems == CFG.num_stems and cfg.stereo
-    assert cfg.mask_estimator_depth == CFG.mask_estimator_depth
-    assert cfg.n_fft == CFG.n_fft
+    assert cfg.dim == ref_cfg.dim and cfg.depth == ref_cfg.depth
+    assert cfg.freqs_per_bands == ref_cfg.freqs_per_bands
+    assert cfg.heads == ref_cfg.heads and cfg.dim_head == ref_cfg.dim_head
+    assert cfg.num_stems == ref_cfg.num_stems and cfg.stereo
+    assert cfg.mask_estimator_depth == ref_cfg.mask_estimator_depth
+    assert cfg.n_fft == ref_cfg.n_fft
+    assert cfg.transformer_norm_output == ref_cfg.transformer_norm_output
 
     params = bs_roformer_params_from_state_dict(sd)
-    FS = (CFG.n_fft // 2 + 1) * 2
+    import functools
+
+    import jax
+
+    model = BSRoformer(cfg)
+    FS = (ref_cfg.n_fft // 2 + 1) * 2
+    assert_params_match_model(
+        params, functools.partial(model.init, jax.random.PRNGKey(0)),
+        jnp.zeros((1, 4, FS, 2)))
     spec = rng.standard_normal((2, 5, FS, 2)).astype(np.float32)
     with torch.no_grad():
         out_ref = ref(torch.from_numpy(spec)).numpy()
-    out = np.asarray(BSRoformer(CFG).apply(params, jnp.asarray(spec)))
+    out = np.asarray(model.apply(params, jnp.asarray(spec)))
     assert out.shape == out_ref.shape
     np.testing.assert_allclose(out, out_ref, atol=2e-5)
+
+
+def test_importer_rejects_normless_mismatch(rng):
+    """A params/module mismatch must fail loudly, not run silently."""
+    torch = pytest.importorskip("torch")
+    import functools
+
+    import jax
+
+    from rvc_tpu.compat.torch_import import (
+        assert_params_match_model,
+        bs_roformer_params_from_state_dict,
+    )
+
+    torch.manual_seed(0)
+    sd = _build_torch_model(CFG).state_dict()
+    params = bs_roformer_params_from_state_dict(sd)
+    wrong = BSRoformer(CFG_NORM)  # expects per-transformer norms
+    FS = (CFG.n_fft // 2 + 1) * 2
+    with pytest.raises(ValueError, match="missing"):
+        assert_params_match_model(
+            params, functools.partial(wrong.init, jax.random.PRNGKey(0)),
+            jnp.zeros((1, 4, FS, 2)))
+
+
+def test_mono_checkpoint_not_misread_as_stereo():
+    """A mono layout whose total//4 is odd must not be loaded as stereo
+    with halved n_fft (advisor finding): bins=7 mono → total=14,
+    14//4=3 is odd, so the old parity heuristic picked stereo."""
+    from rvc_tpu.compat.torch_import import bs_roformer_config_from_state_dict
+
+    mono = BSRoformerConfig(
+        dim=16, depth=1, stereo=False, num_stems=1,
+        freqs_per_bands=(2, 2, 3), dim_head=8, heads=2, ff_mult=2,
+        n_fft=12, hop_length=6, win_length=12, mask_estimator_depth=1)
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    sd = _build_torch_model(mono).state_dict()
+    cfg = bs_roformer_config_from_state_dict(
+        {k: v.numpy() for k, v in sd.items()})
+    assert not cfg.stereo
+    assert cfg.n_fft == 12
+    assert cfg.freqs_per_bands == (2, 2, 3)
 
 
 def test_separator_roundtrip(rng):
@@ -226,3 +294,5 @@ def test_routing():
     from rvc_tpu.pipelines.separate import route_separator
 
     assert route_separator("model_bs_roformer_ep_317_sdr_12.9755.ckpt") == "bs_roformer"
+    assert route_separator("Kim_MelBandRoformer.ckpt") == "mel_roformer"
+    assert route_separator("MelBandRoformer.ckpt") == "mel_roformer"
