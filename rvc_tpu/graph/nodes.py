@@ -102,6 +102,60 @@ class MergeAudioNode:
         return (to_audio_dict(mixed, out_sr),)
 
 
+class DownloadAudioNode:
+    """YouTube audio download → AUDIO (reference audio_nodes.py:74-123
+    DownloadAudio). Cache-first: a hash-named file under ``output_dir``
+    short-circuits the download, so prior downloads keep working offline.
+    The fetch itself needs the optional ``yt_dlp`` package + network —
+    gated with a clear error, like the model downloader."""
+
+    CATEGORY = "rvc_tpu/audio"
+    RETURN_TYPES = ("STRING", "AUDIO")
+    RETURN_NAMES = ("audio_name", "audio")
+    FUNCTION = "download_audio"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"url": ("STRING", {"default": ""})},
+                "optional": {"sr": (["None", 16000, 44100, 48000],
+                                    {"default": "None"}),
+                             "song_name": ("STRING", {"default": ""}),
+                             "format": (SUPPORTED_AUDIO, {"default": "flac"}),
+                             "output_dir": ("STRING",
+                                            {"default": "input/audio"})}}
+
+    def download_audio(self, url: str, sr="None", song_name: str = "",
+                       format: str = "flac", output_dir: str = "input/audio"):
+        if "youtube" not in url and "youtu.be" not in url:
+            raise ValueError("Please provide a valid youtube URL!")
+        widget_id = get_hash(url, sr, format)
+        sr = None if sr == "None" else int(sr)
+        audio_name = song_name or widget_id
+        os.makedirs(output_dir, exist_ok=True)
+        audio_path = os.path.join(output_dir, f"{audio_name}.{format}")
+        if not os.path.isfile(audio_path):
+            try:
+                import yt_dlp  # optional dependency, absent offline
+            except ImportError as e:
+                raise RuntimeError(
+                    "DownloadAudio needs the optional 'yt_dlp' package and "
+                    "network access; in offline environments place the file "
+                    f"at {audio_path} and rerun (cache-first)") from e
+            ydl_opts = {
+                "format": "bestaudio/best",
+                "postprocessors": [{"key": "FFmpegExtractAudio",
+                                    "preferredcodec": format}],
+                "outtmpl": os.path.splitext(audio_path)[0],
+            }
+            with yt_dlp.YoutubeDL(ydl_opts) as ydl:
+                ydl.download([url])
+        audio, out_sr = load_input_audio(audio_path, sr)
+        return {"ui": {"preview": [{"filename": os.path.basename(audio_path),
+                                    "type": "input", "subfolder": "audio",
+                                    "widgetId": widget_id}]},
+                "result": (audio_name, to_audio_dict(audio, out_sr))}
+
+
 class AudioInfoNode:
     """Duration/sample-rate probe (reference audio_nodes.py AudioInfoNode:54)."""
 
@@ -561,6 +615,7 @@ NODE_CLASS_MAPPINGS = {
     "RVC_TPU_LoadAudio": LoadAudioNode,
     "RVC_TPU_SaveAudio": SaveAudioNode,
     "RVC_TPU_MergeAudio": MergeAudioNode,
+    "RVC_TPU_DownloadAudio": DownloadAudioNode,
     "RVC_TPU_AudioInfo": AudioInfoNode,
     "RVC_TPU_ProcessAudio": ProcessAudioNode,
     "RVC_TPU_TrainParams": TrainParamsNode,

@@ -710,17 +710,35 @@ class _HybridBase(nn.Module):
         B, F, T, C, _ = z.shape
         return z.reshape(B, F, T, 2 * C)
 
-    def _mask(self, spec_out):
-        """spec_out (B, F, T, S*2C) -> (re, im) each (B, S, C, T, F).
-        Only CaC (all released v3/v4 checkpoints); Wiener filtering would
-        need wiener_iters >= 0 with cac=False (reference _wiener:659)."""
-        if not self.cac:
-            raise NotImplementedError("wiener/naive masking (cac=False)")
-        B, F, T, _ = spec_out.shape
+    def _mask(self, spec_out, z_re=None, z_im=None):
+        """spec_out (B, F, T, S*2C) CaC — or (B, F, T, S*C) magnitudes with
+        the mixture spectrogram (z_re, z_im) for non-CaC checkpoints —
+        -> (re, im) each (B, S, C, T, F). Non-CaC follows reference
+        hdemucs.py:642-668: wiener_iters < 0 → naive mixture-phase mask,
+        else multichannel Wiener EM (ops/wiener.py) in 300-frame windows."""
         S = len(self.sources)
-        z = spec_out.reshape(B, F, T, S, self.audio_channels, 2)
-        z = jnp.transpose(z, (0, 3, 4, 2, 1, 5))  # (B, S, C, T, F, 2)
-        return z[..., 0], z[..., 1]
+        C = self.audio_channels
+        B, F, T, _ = spec_out.shape
+        if self.cac:
+            z = spec_out.reshape(B, F, T, S, C, 2)
+            z = jnp.transpose(z, (0, 3, 4, 2, 1, 5))  # (B, S, C, T, F, 2)
+            return z[..., 0], z[..., 1]
+        m = spec_out.reshape(B, F, T, S, C).astype(jnp.float32)
+        z = (z_re.astype(jnp.float32) +
+             1j * z_im.astype(jnp.float32))  # (B, C, T, F) complex64
+        if self.wiener_iters < 0:
+            unit = z / (1e-8 + jnp.abs(z))
+            y = unit[:, None] * jnp.transpose(m, (0, 3, 4, 2, 1))  # (B,S,C,T,F)
+        else:
+            from ..ops.wiener import wiener
+
+            mix = jnp.transpose(z, (0, 2, 3, 1))        # (B, T, F, C)
+            mag = jnp.transpose(m, (0, 2, 1, 4, 3))     # (B, T, F, C, S)
+            y = jax.vmap(lambda mm, xx: wiener(
+                mm, xx, self.wiener_iters,
+                residual=self.wiener_residual))(mag, mix)  # (B, T, F, C, S)
+            y = jnp.transpose(y, (0, 4, 3, 1, 2))        # (B, S, C, T, F)
+        return jnp.real(y), jnp.imag(y)
 
     def _enc_layer(self, p, time_branch: bool, name: str, empty: bool = False):
         dmode = self.dconv_mode & 1
@@ -831,7 +849,7 @@ class _HybridBase(nn.Module):
         assert not saved and not saved_t and not lengths_t
         S = len(self.sources)
         x = x * std + mean
-        re, im = self._mask(x)  # (B, S, C, T, F)
+        re, im = self._mask(x, z_re, z_im)  # (B, S, C, T, F)
         wave_spec = self._ispec(re, im, length)  # (B, S, C, length)
 
         xt = xt.reshape(B, length, S, self.audio_channels)

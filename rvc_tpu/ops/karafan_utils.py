@@ -71,6 +71,31 @@ def change_sample_rate(audio: np.ndarray, up: int, down: int) -> np.ndarray:
     return _ss.resample_poly(audio, up, down, axis=-1).astype(np.float32)
 
 
+def srs_shift(audio: np.ndarray, way: str, current_cutoff: float,
+              target_cutoff: float) -> np.ndarray:
+    """Cutoff-expressed SRS resample (reference audio_utils.Change_sample_rate
+    :237-244): resample from 2·current_cutoff to 2·target_cutoff WITHOUT
+    relabeling the sample rate, which shifts the spectral content so a
+    band-limited model sees the band it was trained on. way='DOWN' swaps the
+    cutoffs (content moves down / signal gets longer); 'UP' restores it.
+    Kaiser-windowed polyphase (scipy) stands in for librosa kaiser_best."""
+    if way == "DOWN":
+        current_cutoff, target_cutoff = target_cutoff, current_cutoff
+    up = int(round(target_cutoff * 2))
+    down = int(round(current_cutoff * 2))
+    g = math.gcd(up, down)
+    return _ss.resample_poly(audio, up // g, down // g, axis=-1).astype(np.float32)
+
+
+def linkwitz_riley(kind: str, cutoff: float, audio: np.ndarray,
+                   sample_rate: int, order: int = 8) -> np.ndarray:
+    """Linkwitz-Riley crossover leg (reference audio_utils.Linkwitz_Riley_filter
+    :191-201): an order//2 Butterworth applied zero-phase (sosfiltfilt), so the
+    lowpass+highpass pair sums flat at the crossover."""
+    sos = _ss.butter(order // 2, cutoff, btype=kind, fs=sample_rate, output="sos")
+    return _ss.sosfiltfilt(sos, audio, padlen=0, axis=-1).astype(np.float32)
+
+
 def make_ensemble(algorithm: str, audios: list[np.ndarray]) -> np.ndarray:
     """Combine stems (reference audio_utils.Make_Ensemble): 'Max' keeps the
     per-sample extreme (by magnitude), 'Average' means."""

@@ -32,7 +32,7 @@ from ..models.hubert import HubertConfig, HubertEncoder
 from ..models.synthesizer import Synthesizer
 from ..ops.filters import butter_highpass_host, change_rms
 from ..ops.resample import resample as device_resample
-from ..pitch.extractor import PitchExtractor, coarse_f0
+from ..pitch.extractor import PitchExtractor, autotune, coarse_f0, shift_semitones
 
 SR = 16000
 WINDOW = 160
@@ -114,6 +114,9 @@ class VoiceConverter:
         self.t_center = SR * c.x_center
         self.t_max = SR * c.x_max
         self._core_cache: dict = {}
+        # constant noise key, created once (a per-call PRNGKey costs a
+        # host→device transfer — ~30 ms over the remote-chip tunnel)
+        self._noise_key = jax.random.PRNGKey(0)
         tgt = self.tgt_sr
         self._jit_change_rms = jax.jit(
             lambda src, dst, rate: change_rms(src, SR, dst, tgt, rate)
@@ -130,21 +133,49 @@ class VoiceConverter:
 
     # -- jitted cores ---------------------------------------------------------
     def _make_core2(self, use_index: bool, use_f0: bool, protect_on: bool,
-                    rms_mix: bool, chunk_len: int):
-        """Fully fused device pipeline: slice chunks out of the uploaded
-        padded waveform, convert, per-chunk RMS mix, global int16 normalize.
-        One upload (the song) + one int16 download per call — on a
+                    rms_mix: bool, chunk_len: int,
+                    f0_spec: tuple | None = None, concat_out: bool = True):
+        """Fully fused device pipeline: (optionally) the whole f0 chain,
+        then slice chunks out of the uploaded padded waveform, convert,
+        per-chunk RMS mix, device-side pad-trim + ragged concat, global
+        int16 normalize. ONE dispatch, one (int16-quantized) upload and one
+        int16 download of only the valid samples per song — on a
         bandwidth-limited link this is the difference between ~30× and
-        >100× real time."""
-        synth, hubert = self.synth, self.hubert
-        version = self.version
+        >60× real time on short clips.
+
+        f0_spec: None → coarse/f0 arrays are passed in precomputed (hybrid
+        multi-method merging); else (method, autotune, filter_radius,
+        crepe_hop, f0_min, f0_max) and the pitch model runs inside this
+        kernel (fuses away a dispatch round trip).
+        concat_out: trim t_pad_tgt per chunk and scatter into one flat
+        waveform on device (reference vc_infer_pipeline.py:174,180-182
+        semantics); disabled on a dp mesh where the chunk-grid output is
+        kept per-shard.
+        """
         core1 = self._make_core_fn(use_index, use_f0, protect_on)
         L = chunk_len
         F = L // WINDOW
         ratio = self.tgt_sr // 100
+        t_pad_tgt = self.t_pad_tgt
+        if f0_spec is not None:
+            method, autotune_on, filter_radius, crepe_hop, f0_min, f0_max = f0_spec
+            f0_fn = self.pitch._build_method_fn(
+                method, f0_min, f0_max, filter_radius, crepe_hop)
 
-        def core2(synth_params, hubert_params, bank, audio_pad, starts, lengths,
-                  pitch_full, pitchf_full, sid, index_rate, protect, rms_rate, key):
+        def core2(synth_params, hubert_params, pitch_params, bank, audio_q,
+                  ints, scalars, pitch_full, pitchf_full, key):
+            # ints: (3, N) int32 [starts; lengths; sid]
+            # scalars: (5,) f32 [index_rate, protect, rms_rate, up_key, inv_scale]
+            starts, lengths, sid = ints[0], ints[1], ints[2]
+            index_rate, protect, rms_rate = scalars[0], scalars[1], scalars[2]
+            audio_pad = audio_q.astype(jnp.float32) * scalars[4]
+            if use_f0 and f0_spec is not None:
+                f0 = f0_fn(pitch_params, audio_pad[None])
+                if autotune_on:
+                    f0 = autotune(f0)
+                f0 = shift_semitones(f0, scalars[3])
+                pitch_full = coarse_f0(f0, f0_min, f0_max)[0]
+                pitchf_full = f0[0].astype(jnp.float32)
             chunks = jax.vmap(
                 lambda st: jax.lax.dynamic_slice(audio_pad, (st,), (L,))
             )(starts)
@@ -166,11 +197,37 @@ class VoiceConverter:
             # trimmed pad boundaries)
             if rms_mix:
                 o = change_rms(chunks, SR, o.astype(jnp.float32), self.tgt_sr, rms_rate)
-            # int16 peak normalization over the valid (untrimmed) samples
             o = o.astype(jnp.float32)
+            if concat_out:
+                # device-side pad trim + ragged concat: output index j maps
+                # to (chunk, offset) via a searchsorted over the cumulative
+                # valid lengths — ONE gather (TPU gathers parallelize;
+                # the scatter formulation of the same concat measured ~25%
+                # slower end-to-end), minimal download bytes
+                N = o.shape[0]
+                p_len = jnp.minimum(lengths // WINDOW, o.shape[1] // ratio)
+                valid_len = p_len * ratio - 2 * t_pad_tgt
+                Lv = o.shape[1] - 2 * t_pad_tgt
+                size = N * Lv
+                cum = jnp.cumsum(valid_len).astype(jnp.int32)
+                offs = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), cum[:-1]])
+                j = jnp.arange(size, dtype=jnp.int32)
+                cid = jnp.minimum(
+                    jnp.searchsorted(cum, j, side="right"), N - 1
+                ).astype(jnp.int32)
+                off = j - offs[cid] + t_pad_tgt
+                flat = o[cid, jnp.minimum(off, o.shape[1] - 1)]
+                total = cum[-1]
+                mask = j < total
+                flat = jnp.where(mask, flat, 0.0)
+                audio_max = jnp.max(jnp.abs(flat)) / 0.99
+                flat = flat * (MAX_INT16 / jnp.maximum(audio_max, 1e-9))
+                return jnp.clip(flat, 1 - MAX_INT16, MAX_INT16 - 1).astype(jnp.int16)
+            # chunk-grid output (dp-mesh path): normalize over valid samples
             t_idx = jnp.arange(o.shape[1])[None, :]
-            valid_hi = (lengths // WINDOW) * ratio - self.t_pad_tgt
-            mask = (t_idx >= self.t_pad_tgt) & (t_idx < valid_hi[:, None])
+            valid_hi = (lengths // WINDOW) * ratio - t_pad_tgt
+            mask = (t_idx >= t_pad_tgt) & (t_idx < valid_hi[:, None])
             audio_max = jnp.max(jnp.abs(jnp.where(mask, o, 0.0))) / 0.99
             o = o * (MAX_INT16 / jnp.maximum(audio_max, 1e-9))
             return jnp.clip(o, 1 - MAX_INT16, MAX_INT16 - 1).astype(jnp.int16)
@@ -231,11 +288,14 @@ class VoiceConverter:
         return jax.jit(self._make_core_fn(use_index, use_f0, protect_on))
 
     def _core2(self, use_index: bool, use_f0: bool, protect_on: bool,
-               rms_mix: bool, chunk_len: int):
-        k = (use_index, use_f0, protect_on, rms_mix, chunk_len)
+               rms_mix: bool, chunk_len: int, f0_spec: tuple | None = None,
+               concat_out: bool = True):
+        k = (use_index, use_f0, protect_on, rms_mix, chunk_len, f0_spec,
+             concat_out)
         if k not in self._core_cache:
-            self._core_cache[k] = self._make_core2(use_index, use_f0, protect_on,
-                                                   rms_mix, chunk_len)
+            self._core_cache[k] = self._make_core2(
+                use_index, use_f0, protect_on, rms_mix, chunk_len,
+                f0_spec=f0_spec, concat_out=concat_out)
         return self._core_cache[k]
 
     # -- public API ----------------------------------------------------------
@@ -260,20 +320,34 @@ class VoiceConverter:
         audio_pad = np.pad(audio, (self.t_pad, self.t_pad), mode="reflect")
 
         # single device upload: the padded waveform, length-bucketed with a
-        # reflect tail so f0/chunk shapes stay stable across songs
+        # reflect tail so f0/chunk shapes stay stable across songs. The
+        # upload is int16-quantized (peak-scaled, dequantized on device):
+        # −96 dB quantization noise, half the bytes over the host↔chip link.
         P = len(audio_pad)
         Pb = int(np.ceil((P + 1) / 16000) * 16000)
         tail = Pb - P
         audio_pad_b = np.pad(audio_pad, (0, tail),
                              mode="reflect" if tail < P else "constant")
-        audio_dev = jnp.asarray(audio_pad_b)
+        peak = float(np.abs(audio_pad_b).max())
+        q_scale = 32766.0 / max(peak, 1e-9)
+        audio_dev = jnp.asarray(
+            np.rint(audio_pad_b * q_scale).astype(np.int16))
+        inv_scale = 1.0 / q_scale
 
-        # --- f0 over the whole padded signal, once (reference :154-162);
-        # stays on device — the fused core slices it per chunk
+        # --- f0: single-method (the default) runs INSIDE the fused core —
+        # one dispatch for the whole song. Hybrid multi-method merging
+        # (reference get_f0_hybrid) precomputes on device here.
+        fused_f0 = self.use_f0 and isinstance(s.f0_method, str)
+        f0_spec = None
         pitch_dev = pitchf_dev = None
-        if self.use_f0:
+        pitch_params = None
+        if fused_f0:
+            f0_spec = (s.f0_method, bool(s.f0_autotune), int(s.filter_radius),
+                       int(s.crepe_hop_length), float(s.f0_min), float(s.f0_max))
+            pitch_params = self.pitch._method_params(s.f0_method)
+        elif self.use_f0:
             coarse, f0 = self.pitch.get_f0(
-                audio_dev[None],
+                (audio_dev.astype(jnp.float32) * inv_scale)[None],
                 f0_up_key=s.f0_up_key,
                 method=s.f0_method,
                 merge_type=s.merge_type,
@@ -284,8 +358,6 @@ class VoiceConverter:
                 f0_max=s.f0_max,
             )
             pitch_dev, pitchf_dev = coarse[0], f0[0].astype(jnp.float32)
-        else:
-            pitch_dev = pitchf_dev = jnp.zeros((Pb // WINDOW,), jnp.float32)
 
         # --- chunk spans over audio_pad (reference :167-180)
         spans = []
@@ -309,49 +381,56 @@ class VoiceConverter:
             lengths = np.concatenate([lengths, np.repeat(lengths[-1:], pad_n)])
         N = len(starts)
 
-        # --- one fused device dispatch → int16 chunks
+        # --- one fused device dispatch → int16 waveform
         use_index = self.index_bank is not None and s.index_rate > 0
         protect_on = self.use_f0 and s.protect < 0.5
         rms_mix = s.rms_mix_rate < 1
-        core = self._core2(use_index, self.use_f0, protect_on, rms_mix, L)
+        concat_out = self.mesh is None and not getattr(self, "_grid_out", False)
+        core = self._core2(use_index, self.use_f0, protect_on, rms_mix, L,
+                           f0_spec=f0_spec, concat_out=concat_out)
         bank = self.index_bank if use_index else jnp.zeros((1, 1), jnp.float32)
-        starts_d = jnp.asarray(starts)
-        lengths_d = jnp.asarray(lengths)
-        sid_d = jnp.full((N,), s.sid, jnp.int32)
+        # small args packed into two arrays: two transfers instead of seven
+        ints = jnp.asarray(np.stack([
+            starts, lengths, np.full((N,), s.sid, np.int32)]).astype(np.int32))
+        scalars = jnp.asarray(np.array(
+            [s.index_rate, s.protect, s.rms_mix_rate, s.f0_up_key, inv_scale],
+            np.float32))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            dp = NamedSharding(self.mesh, P("dp"))
-            starts_d = jax.device_put(starts_d, dp)
-            lengths_d = jax.device_put(lengths_d, dp)
-            sid_d = jax.device_put(sid_d, dp)
+            ints = jax.device_put(ints, NamedSharding(self.mesh, P(None, "dp")))
         out16 = core(
             self.synth_params,
             self.hubert_params,
+            pitch_params,
             bank,
             audio_dev,
-            starts_d,
-            lengths_d,
+            ints,
+            scalars,
             pitch_dev,
             pitchf_dev,
-            sid_d,
-            jnp.float32(s.index_rate),
-            jnp.float32(s.protect),
-            jnp.float32(s.rms_mix_rate),
-            jax.random.PRNGKey(0),
+            self._noise_key,
         )
-        out16 = np.asarray(out16)[:N_real]  # (N, L_out) int16 — one download
-        lengths = lengths[:N_real]
-        N = N_real
-
-        # --- trim + concat (reference :174,180 — strip t_pad_tgt per side)
         ratio = self.tgt_sr // 100
-        pieces = []
-        for i in range(N):
-            p_len = min(int(lengths[i]) // WINDOW, out16.shape[1] // ratio)
-            valid = out16[i, : p_len * ratio]
-            pieces.append(valid[self.t_pad_tgt : len(valid) - self.t_pad_tgt])
-        audio_opt = np.concatenate(pieces)
+
+        if concat_out:
+            # the device already trimmed t_pad_tgt per chunk and packed the
+            # valid samples contiguously at the front of the flat buffer
+            F = L // WINDOW
+            p_lens = np.minimum(lengths[:N_real] // WINDOW, F)
+            total = int(np.sum(p_lens * ratio - 2 * self.t_pad_tgt))
+            audio_opt = np.asarray(out16)[:total]
+        else:
+            out16 = np.asarray(out16)[:N_real]  # (N, L_out) int16
+            lengths = lengths[:N_real]
+
+            # --- trim + concat (reference :174,180 — strip t_pad_tgt/side)
+            pieces = []
+            for i in range(N_real):
+                p_len = min(int(lengths[i]) // WINDOW, out16.shape[1] // ratio)
+                valid = out16[i, : p_len * ratio]
+                pieces.append(valid[self.t_pad_tgt : len(valid) - self.t_pad_tgt])
+            audio_opt = np.concatenate(pieces)
 
         out_sr = self.tgt_sr
         if s.resample_sr >= SR and s.resample_sr != self.tgt_sr:

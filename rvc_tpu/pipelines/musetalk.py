@@ -202,6 +202,28 @@ def blend_face_parsed(frame: np.ndarray, face: np.ndarray,
     return out
 
 
+def refine_box_with_landmarks(box: tuple[int, int, int, int],
+                              landmarks: np.ndarray,
+                              bbox_shift: int = 0) -> tuple[int, int, int, int]:
+    """Landmark-refined crop box (reference preprocessing.py:105-131).
+
+    The upper bound is mirrored around the nose-bridge point (landmark 29,
+    68-point layout; ``bbox_shift`` nudges it down/up like the reference's
+    upperbondrange knob), sides/bottom hug the landmark extents. Falls back
+    to the detector box when the refined one is degenerate."""
+    lm = np.asarray(landmarks)
+    half_y = float(lm[29, 1]) + bbox_shift
+    half_dist = float(np.max(lm[:, 1])) - half_y
+    upper = max(0.0, half_y - half_dist)
+    x1 = int(np.min(lm[:, 0]))
+    y1 = int(upper)
+    x2 = int(np.max(lm[:, 0]))
+    y2 = int(np.max(lm[:, 1]))
+    if y2 - y1 <= 0 or x2 - x1 <= 0 or x1 < 0:
+        return box
+    return (x1, y1, x2, y2)
+
+
 @dataclass
 class MuseTalkPipeline:
     """End-to-end lip sync over a frame sequence."""
@@ -211,6 +233,7 @@ class MuseTalkPipeline:
     whisper: Audio2Feature
     face_params: Any = None  # S3FD params; None → caller provides boxes
     parse_params: Any = None  # BiSeNet params; None → bbox-feathered blend
+    fan_params: Any = None  # FAN params; None → raw S3FD boxes (no refine)
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -246,9 +269,35 @@ class MuseTalkPipeline:
                 boxes.append((int(x1), int(y1), int(x2), int(y2)))
         return boxes
 
+    def get_landmarks(self, frames: list[np.ndarray],
+                      boxes: list[tuple[int, int, int, int]],
+                      size: int = 256) -> list[np.ndarray]:
+        """68-point landmarks per frame (FAN over the face crops, ONE
+        batched dispatch), mapped back to full-frame pixel coordinates."""
+        import cv2
+
+        from ..models.musetalk.face import FAN, heatmaps_to_landmarks
+
+        # stack depth is encoded in the checkpoint (l0..l{n-1} heads)
+        heads = [k for k in self.fan_params["params"]
+                 if k.startswith("l") and k[1:].isdigit()]
+        model = FAN(num_modules=len(heads), dtype=self.dtype)
+        crops, metas = [], []
+        for frame, (x1, y1, x2, y2) in zip(frames, boxes):
+            crop = frame[y1:y2, x1:x2]
+            if crop.size == 0:
+                crop, x1, y1 = frame, 0, 0
+            ch, cw = crop.shape[:2]
+            crops.append(cv2.resize(crop, (size, size)).astype(np.float32) / 255.0)
+            metas.append((x1, y1, cw, ch))
+        hm = model.apply(self.fan_params, jnp.asarray(np.stack(crops)))
+        pts = np.asarray(heatmaps_to_landmarks(hm))  # (N, 68, 2) crop coords
+        return [p * np.array([cw / size, ch / size]) + np.array([x1, y1])
+                for p, (x1, y1, cw, ch) in zip(pts, metas)]
+
     def process(self, frames: list[np.ndarray], audio: np.ndarray, fps: float = 25.0,
                 boxes: list[tuple[int, int, int, int]] | None = None,
-                batch_size: int = 8) -> list[np.ndarray]:
+                batch_size: int = 8, bbox_shift: int = 0) -> list[np.ndarray]:
         """frames: uint8 RGB; audio: (T,) 16 kHz → lip-synced frames."""
         import cv2
 
@@ -260,6 +309,10 @@ class MuseTalkPipeline:
         chunks = Audio2Feature.get_sliced_feature  # noqa: F841
         if boxes is None:
             boxes = self.detect_faces(frames)
+            if self.fan_params is not None:
+                landmarks = self.get_landmarks(frames, boxes)
+                boxes = [refine_box_with_landmarks(b, lm, bbox_shift)
+                         for b, lm in zip(boxes, landmarks)]
 
         out_frames = []
         n = min(len(frames), int(len(feat_rows) / 50 * fps))

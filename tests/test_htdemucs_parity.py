@@ -17,6 +17,7 @@ def ref_demucs():
     # stub deps of the reference demucs package that the model forward
     # never touches: julius (resampling, classic Demucs only), omegaconf +
     # diffq (checkpoint tooling in states.py), xformers (sparse attention)
+    installed = []
     for name, attrs in [
         ("julius", ["resample_frac"]),
         ("omegaconf", ["OmegaConf", "DictConfig"]),
@@ -29,12 +30,23 @@ def ref_demucs():
             for a in attrs:
                 setattr(mod, a, type(a, (), {}))
             sys.modules[name] = mod
-    if REF_LIB not in sys.path:
+            installed.append(name)
+    path_added = REF_LIB not in sys.path
+    if path_added:
         sys.path.insert(0, REF_LIB)
     import uvr5_pack.demucs.hdemucs as ref_h
     import uvr5_pack.demucs.htdemucs as ref_ht
 
-    return ref_h, ref_ht
+    yield ref_h, ref_ht
+    # teardown: unstub + purge reference modules (no cross-file leakage)
+    for name in installed:
+        sys.modules.pop(name, None)
+    if path_added and REF_LIB in sys.path:
+        sys.path.remove(REF_LIB)
+    for name, mod in list(sys.modules.items()):
+        if getattr(mod, "__file__", None) and \
+                str(getattr(mod, "__file__", "")).startswith("/root/reference"):
+            sys.modules.pop(name, None)
 
 
 def _compare(ref_model, mine, x_np, atol):
@@ -124,4 +136,39 @@ def test_htdemucs_train_segment_padding(ref_demucs, rng):
     ref = ref_ht.HTDemucs(**kw).eval()
     mine = HTDemucs(**{**kw, "sources": ("a",), "segment": 2.0})
     x = (0.3 * rng.standard_normal((1, 1500, 1))).astype(np.float32)
+    _compare(ref, mine, x, atol=3e-4)
+
+
+def test_hdemucs_noncac_wiener_matches_reference(ref_demucs, rng):
+    """Non-CaC checkpoint path: magnitude masks refined by the Wiener EM
+    filter (reference hdemucs.py:642-668 + filtering.py:336). Unblocks
+    catalog models trained with cac=False."""
+    import torch
+
+    ref_h, _ = ref_demucs
+    from rvc_tpu.models.htdemucs import HDemucs
+
+    torch.manual_seed(4)
+    kw = dict(sources=["a", "b"], audio_channels=2, channels=16, depth=2,
+              nfft=64, norm_starts=1, cac=False, wiener_iters=1, end_iters=1)
+    ref = ref_h.HDemucs(**kw).eval()
+    mine = HDemucs(**{**kw, "sources": ("a", "b")})
+    del kw
+    x = (0.3 * rng.standard_normal((1, 640, 2))).astype(np.float32)
+    _compare(ref, mine, x, atol=5e-4)
+
+
+def test_hdemucs_noncac_naive_mask_matches_reference(ref_demucs, rng):
+    """wiener_iters < 0 → mixture-phase ratio mask (reference _mask:653)."""
+    import torch
+
+    ref_h, _ = ref_demucs
+    from rvc_tpu.models.htdemucs import HDemucs
+
+    torch.manual_seed(5)
+    kw = dict(sources=["a", "b"], audio_channels=2, channels=16, depth=2,
+              nfft=64, norm_starts=1, cac=False, wiener_iters=-1, end_iters=-1)
+    ref = ref_h.HDemucs(**kw).eval()
+    mine = HDemucs(**{**kw, "sources": ("a", "b")})
+    x = (0.3 * rng.standard_normal((1, 640, 2))).astype(np.float32)
     _compare(ref, mine, x, atol=3e-4)

@@ -19,14 +19,26 @@ REF_LIB = "/root/reference/lib"
 
 @pytest.fixture(scope="module")
 def ref_models():
-    ma = types.ModuleType("monotonic_align")
-    ma.maximum_path = lambda *a, **k: None
-    sys.modules.setdefault("monotonic_align", ma)
-    if REF_LIB not in sys.path:
+    stubbed = "monotonic_align" not in sys.modules
+    if stubbed:
+        ma = types.ModuleType("monotonic_align")
+        ma.maximum_path = lambda *a, **k: None
+        sys.modules["monotonic_align"] = ma
+    path_added = REF_LIB not in sys.path
+    if path_added:
         sys.path.insert(0, REF_LIB)
     import infer_pack.models as M
 
-    return M
+    yield M
+    # teardown: no stub or reference module may leak into other test files
+    if stubbed:
+        sys.modules.pop("monotonic_align", None)
+    if path_added and REF_LIB in sys.path:
+        sys.path.remove(REF_LIB)
+    for name, mod in list(sys.modules.items()):
+        if getattr(mod, "__file__", None) and \
+                str(getattr(mod, "__file__", "")).startswith("/root/reference"):
+            sys.modules.pop(name, None)
 
 
 CFG = dict(

@@ -247,3 +247,86 @@ def test_face_parser_and_parsed_blend(rng):
     # all-zero parse mask -> frame unchanged
     out2 = blend_face_parsed(frame, face, box, np.zeros_like(mask_crop))
     np.testing.assert_array_equal(out2, frame)
+
+
+def test_fan_parity_vs_reference(rng):
+    """FAN stacked-hourglass vs reference face_detection/models.py:145-202
+    on identical random weights (eval mode, running stats)."""
+    import importlib.util
+
+    torch = pytest.importorskip("torch")
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_fan_models",
+        "/root/reference/lib/musetalk/utils/face_detection/models.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    tnet = ref.FAN(num_modules=2)
+    tnet.eval()
+    with torch.no_grad():  # give BN non-trivial running stats
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = tnet.state_dict()
+
+    from rvc_tpu.models.musetalk.face import (FAN, fan_params_from_state_dict,
+                                              heatmaps_to_landmarks)
+
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tnet(torch.from_numpy(x))[-1].numpy()  # (1, 68, 16, 16)
+
+    net = FAN(num_modules=2)
+    variables = fan_params_from_state_dict(sd)  # already {"params": ...}
+    got = net.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got_nchw = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got_nchw.shape == ref_out.shape
+    assert np.max(np.abs(got_nchw - ref_out)) < 2e-4
+
+    pts = np.asarray(heatmaps_to_landmarks(got))
+    assert pts.shape == (1, 68, 2)
+    assert (pts >= 0).all() and (pts <= 64).all()
+
+
+def test_refine_box_with_landmarks():
+    from rvc_tpu.pipelines.musetalk import refine_box_with_landmarks
+
+    lm = np.zeros((68, 2), np.float32)
+    lm[:, 0] = np.linspace(20, 80, 68)  # x extent 20..80
+    lm[:, 1] = np.linspace(40, 100, 68)  # y extent 40..100
+    lm[29] = (50, 70)  # nose bridge mid-face
+    box = (10, 10, 90, 110)
+    x1, y1, x2, y2 = refine_box_with_landmarks(box, lm)
+    assert (x1, x2, y2) == (20, 80, 100)
+    assert y1 == 40  # mirrored: 70 - (100 - 70)
+    # bbox_shift moves the half-face line down → higher upper bound
+    assert refine_box_with_landmarks(box, lm, bbox_shift=10)[1] == 60
+    # degenerate refinement falls back to the detector box
+    lm_bad = np.full((68, 2), -5.0, np.float32)
+    assert refine_box_with_landmarks(box, lm_bad) == box
+
+
+def test_musetalk_landmark_refined_crops(rng):
+    """FAN-refined detect path: pipeline.get_landmarks batches crops in one
+    dispatch and maps points back to frame coordinates."""
+    import jax
+
+    from rvc_tpu.models.musetalk.face import FAN
+    from rvc_tpu.pipelines.musetalk import MuseTalkPipeline
+
+    net = FAN(num_modules=1)
+    fan_params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 64, 3), jnp.float32))
+    pipe = object.__new__(MuseTalkPipeline)  # skip heavy __post_init__
+    pipe.fan_params = fan_params
+    pipe.dtype = jnp.float32
+    frames = [(rng.random((120, 160, 3)) * 255).astype(np.uint8)
+              for _ in range(2)]
+    boxes = [(40, 20, 104, 84), (0, 0, 160, 120)]
+    lms = MuseTalkPipeline.get_landmarks(pipe, frames, boxes, size=64)
+    assert len(lms) == 2 and lms[0].shape == (68, 2)
+    x1, y1, x2, y2 = boxes[0]
+    assert (lms[0][:, 0] >= x1 - 1).all() and (lms[0][:, 0] <= x2 + 1).all()
+    assert (lms[0][:, 1] >= y1 - 1).all() and (lms[0][:, 1] <= y2 + 1).all()
