@@ -204,16 +204,21 @@ class AudioTranscriptionNode:
                              "tokenizer_path": ("STRING", {"default": ""}),
                              "language": ("STRING", {"default": ""}),
                              "timestamps": (["chunk", "segment"],
-                                            {"default": "chunk"})}}
+                                            {"default": "chunk"}),
+                             "decode": (["greedy", "beam"],
+                                        {"default": "greedy"}),
+                             "beam_size": ("INT", {"default": 5})}}
 
     def transcribe(self, audio, model, chunk_seconds: int = 30,
                    tokenizer_path: str = "", language: str = "",
-                   timestamps: str = "chunk"):
+                   timestamps: str = "chunk", decode: str = "greedy",
+                   beam_size: int = 5):
         import jax.numpy as jnp
 
         from .nodes import from_audio_input
         from ..io.audio import remix_audio
-        from ..models.whisper import (decode_with_timestamps, greedy_decode,
+        from ..models.whisper import (decode_with_fallback,
+                                      decode_with_timestamps, greedy_decode,
                                       log_mel_spectrogram)
 
         wav, sr = from_audio_input(audio)
@@ -244,10 +249,19 @@ class AudioTranscriptionNode:
                 if segs:
                     continue
                 # no timestamp pairs decoded → fall through to chunk-level
-            tokens = greedy_decode(m["params"], m["dims"], mel,
-                                   language=language or None)
+            if decode == "beam":
+                # beam search + temperature fallback ladder (reference
+                # vendored transcribe.py decode_with_fallback)
+                toks, _info = decode_with_fallback(
+                    m["params"], m["dims"], mel, beam_size=beam_size,
+                    language=language or None)
+                token_list = toks.tolist()
+            else:
+                tokens = greedy_decode(m["params"], m["dims"], mel,
+                                       language=language or None)
+                token_list = tokens[0].tolist()
             chunks.append({
-                "text": to_text(tokens[0].tolist()).strip(),
+                "text": to_text(token_list).strip(),
                 "timestamp": (start / 16000, min((start + step) / 16000,
                                                  len(mono) / 16000)),
             })

@@ -301,3 +301,33 @@ class ConvTDFNetTrim(nn.Module):
         x = Conv2dTorch(c, 4, (1, 1), use_bias=False, dtype=self.dtype,
                         name="final_conv")(x)
         return x
+
+
+# ---------------------------------------------------------------------------
+# UVR "mixer mode" (reference lib/uvr5_pack/mdxnet.py:126-140 Mixer)
+# ---------------------------------------------------------------------------
+
+
+def load_mixer(path: str) -> np.ndarray:
+    """Load the pretrained stem mixer (mixer.ckpt / mixer_val.ckpt): a
+    single bias-free linear (4 stems + original, 2 channels each → 4
+    stems × 2ch). Returns the (8, 10) weight matrix."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    w = sd["linear.weight"].numpy().astype(np.float32)
+    if w.shape != (8, 10):
+        raise ValueError(f"unexpected mixer weight shape {w.shape}")
+    return w
+
+
+def apply_mixer(weight: np.ndarray, stems: jnp.ndarray,
+                original: jnp.ndarray) -> jnp.ndarray:
+    """stems (4, 2, T) + original mix (2, T) → remixed stems (4, 2, T).
+
+    Equivalent to the reference Mixer.forward (reshape → per-sample linear
+    over the 10 source channels → reshape): expressed as ONE (8,10)×(10,T)
+    matmul — MXU-friendly, no transposes materialized."""
+    T = stems.shape[-1]
+    x = jnp.concatenate([stems.reshape(8, T), original], axis=0)  # (10, T)
+    return (jnp.asarray(weight) @ x).reshape(4, 2, T)

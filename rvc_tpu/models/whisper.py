@@ -407,3 +407,204 @@ def greedy_decode(params, dims: WhisperDims, mel: jax.Array,
         buf = buf.at[:, pos].set(jnp.asarray(nxt))
         pos += 1
     return np.stack(out, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Beam search + temperature fallback (reference vendored whisper
+# decoding.py BeamSearchDecoder / transcribe.py fallback ladder)
+# ---------------------------------------------------------------------------
+
+
+def beam_decode(params, dims: WhisperDims, mel: jax.Array,
+                beam_size: int = 5,
+                sot_sequence: tuple[int, ...] = (50258, 50259, 50359, 50363),
+                eot: int = 50257, max_len: int = 128, dtype=jnp.float32,
+                language: str | None = None,
+                length_penalty: float | None = None):
+    """Beam-search decoding for ONE segment (B=1 semantics per beam group).
+
+    TPU mapping of the reference BeamSearchDecoder (decoding.py): all
+    ``beam_size`` hypotheses live in the batch dimension of a fixed-size
+    token buffer, so each step is one batched decoder forward + one
+    jnp.top_k over beam·vocab — no host-side per-beam bookkeeping inside
+    the hot loop. Returns (tokens (≤max_len,), avg_logprob) of the best
+    finished hypothesis (length-penalty-normalized like the reference's
+    MaximumLikelihoodRanker; None penalty = divide by length).
+    """
+    model = Whisper(dims, dtype=dtype)
+    if mel.ndim == 2:
+        mel = mel[None]
+    if language and len(sot_sequence) >= 2:
+        if language == "auto":
+            lang_ids, _ = detect_language(params, dims, mel, dtype=dtype)
+            lang_tok = int(lang_ids[0])
+        else:
+            lang_tok = 50258 + 1 + LANGUAGE_CODES.index(language)
+        sot_sequence = (sot_sequence[0], lang_tok, *sot_sequence[2:])
+    audio = model.apply(params, mel, method=Whisper.embed_audio)
+    audio = jnp.repeat(audio, beam_size, axis=0)  # (beam, Ta, D)
+
+    n_sot = len(sot_sequence)
+    max_len = min(max_len, dims.n_text_ctx - n_sot)
+    L = n_sot + max_len
+    buf = jnp.full((beam_size, L), eot, jnp.int32)
+    buf = buf.at[:, :n_sot].set(jnp.asarray(sot_sequence, jnp.int32)[None])
+    # beam 0 starts live; the rest at -inf so step 1 fans out from one root
+    sum_lp = np.array([0.0] + [-1e30] * (beam_size - 1), np.float64)
+
+    @jax.jit
+    def step_fn(p, t, a, pos):
+        logits = model.apply(p, t, a, method=Whisper.logits)
+        row = jax.lax.dynamic_slice_in_dim(logits, pos, 1, axis=1)[:, 0]
+        lp = jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
+        # only the per-beam top-(k+1) can survive the reference's ranking
+        # (decoding.py:312) — download (beam, k+1), not (beam, vocab)
+        vals, idxs = jax.lax.top_k(lp, beam_size + 1)
+        return vals, idxs
+
+    @jax.jit
+    def regather(t, src, tok, pos):
+        return t[src].at[:, pos + 1].set(tok)
+
+    finished: list[tuple[float, np.ndarray]] = []  # first-come, like ref
+    max_candidates = beam_size  # patience=1.0
+    prefixes = [np.zeros((0,), np.int32)] * beam_size
+    pos = n_sot - 1
+    for _ in range(max_len):
+        vals, idxs = step_fn(params, buf, audio, pos)
+        vals, idxs = np.asarray(vals, np.float64), np.asarray(idxs)
+        # exact reference update (decoding.py:305-332): rank ALL beam·(k+1)
+        # candidates, EOT ones retire to the finished pool, the best
+        # beam_size non-EOT continue
+        scores = (sum_lp[:, None] + vals).reshape(-1)
+        order = np.argsort(-scores)
+        new_src, new_tok, new_lp, new_pref = [], [], [], []
+        for flat in order:
+            b, j = divmod(int(flat), beam_size + 1)
+            tok = int(idxs[b, j])
+            if tok == eot:
+                if len(finished) < max_candidates:
+                    finished.append((float(scores[flat]), prefixes[b]))
+            else:
+                new_src.append(b)
+                new_tok.append(tok)
+                new_lp.append(float(scores[flat]))
+                new_pref.append(np.append(prefixes[b], tok))
+                if len(new_src) == beam_size:
+                    break
+        buf = regather(buf, jnp.asarray(new_src), jnp.asarray(new_tok,
+                                                              jnp.int32), pos)
+        sum_lp = np.asarray(new_lp, np.float64)
+        prefixes = new_pref
+        pos += 1
+        if len(finished) >= max_candidates:
+            break
+
+    if not finished:  # ran out of length: rank the live beams instead
+        finished = [(float(sum_lp[b]), prefixes[b]) for b in range(beam_size)]
+
+    # MaximumLikelihoodRanker (decoding.py:173-196): normalize by the FULL
+    # sequence length (sot + tokens + eot); avg_logprob reported over
+    # tokens+eot like the reference DecodingResult
+    best, best_score, best_avg = None, -np.inf, -np.inf
+    for slp, toks in finished:
+        n = n_sot + len(toks) + 1
+        score = (slp / n if length_penalty is None
+                 else slp / ((5 + n) / 6) ** length_penalty)
+        if score > best_score:
+            best, best_score, best_avg = toks, score, slp / (len(toks) + 1)
+    return np.asarray(best, np.int32), float(best_avg)
+
+
+def _compression_ratio(tokens: np.ndarray) -> float:
+    import zlib
+
+    raw = np.asarray(tokens, np.int32).tobytes()
+    if not raw:
+        return 0.0
+    return len(raw) / len(zlib.compress(raw))
+
+
+def decode_with_fallback(params, dims: WhisperDims, mel: jax.Array,
+                         temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                         beam_size: int = 5,
+                         compression_ratio_threshold: float = 2.4,
+                         logprob_threshold: float = -1.0,
+                         seed: int = 0, dtype=jnp.float32,
+                         language: str | None = None, max_len: int = 128,
+                         sot_sequence: tuple[int, ...] = (50258, 50259,
+                                                          50359, 50363),
+                         eot: int = 50257):
+    """Reference transcribe.py decode_with_fallback: try beam search at
+    t=0; if the result degenerates (compression ratio above threshold →
+    repetition loop, or avg logprob below threshold → low confidence),
+    retry with temperature sampling, raising t until acceptable.
+
+    Returns (tokens, info dict with temperature/avg_logprob/
+    compression_ratio)."""
+    tokens, avg_lp = None, -np.inf
+    for ti, temp in enumerate(temperatures):
+        if temp == 0.0:
+            tokens, avg_lp = beam_decode(
+                params, dims, mel, beam_size=beam_size, max_len=max_len,
+                dtype=dtype, language=language, sot_sequence=sot_sequence,
+                eot=eot)
+        else:
+            tokens, avg_lp = _sample_decode(
+                params, dims, mel, temp, seed=seed + ti, max_len=max_len,
+                dtype=dtype, language=language, sot_sequence=sot_sequence,
+                eot=eot)
+        cr = _compression_ratio(tokens)
+        ok = (cr <= compression_ratio_threshold
+              and avg_lp >= logprob_threshold)
+        if ok or temp == temperatures[-1]:
+            return tokens, {"temperature": temp, "avg_logprob": avg_lp,
+                            "compression_ratio": cr}
+    return tokens, {"temperature": temperatures[-1], "avg_logprob": avg_lp,
+                    "compression_ratio": _compression_ratio(tokens)}
+
+
+def _sample_decode(params, dims: WhisperDims, mel: jax.Array,
+                   temperature: float, seed: int = 0,
+                   sot_sequence: tuple[int, ...] = (50258, 50259, 50359,
+                                                    50363),
+                   eot: int = 50257, max_len: int = 128, dtype=jnp.float32,
+                   language: str | None = None):
+    """Temperature sampling for one segment (GreedyDecoder with t>0 in the
+    reference); returns (tokens, avg_logprob)."""
+    model = Whisper(dims, dtype=dtype)
+    if mel.ndim == 2:
+        mel = mel[None]
+    if language and len(sot_sequence) >= 2 and language != "auto":
+        lang_tok = 50258 + 1 + LANGUAGE_CODES.index(language)
+        sot_sequence = (sot_sequence[0], lang_tok, *sot_sequence[2:])
+    audio = model.apply(params, mel, method=Whisper.embed_audio)
+    n_sot = len(sot_sequence)
+    max_len = min(max_len, dims.n_text_ctx - n_sot)
+    L = n_sot + max_len
+    buf = jnp.full((1, L), eot, jnp.int32)
+    buf = buf.at[:, :n_sot].set(jnp.asarray(sot_sequence, jnp.int32)[None])
+
+    @jax.jit
+    def step_fn(p, t, a, pos, key):
+        logits = model.apply(p, t, a, method=Whisper.logits)
+        row = jax.lax.dynamic_slice_in_dim(logits, pos, 1, axis=1)[:, 0]
+        lp = jax.nn.log_softmax(row.astype(jnp.float32), axis=-1)
+        tok = jax.random.categorical(key, lp / temperature, axis=-1)
+        return tok.astype(jnp.int32), lp[0, tok[0]]
+
+    key = jax.random.PRNGKey(seed)
+    out, lps = [], []
+    pos = n_sot
+    for _ in range(max_len):
+        key, sub = jax.random.split(key)
+        tok, lp = step_fn(params, buf, audio, pos - 1, sub)
+        t_i = int(np.asarray(tok)[0])
+        lps.append(float(np.asarray(lp)))
+        if t_i == eot:
+            break
+        out.append(t_i)
+        buf = buf.at[:, pos].set(tok)
+        pos += 1
+    avg = float(np.mean(lps)) if lps else -np.inf
+    return np.asarray(out, np.int32), avg

@@ -29,6 +29,7 @@ from ..train.checkpoints import (
 )
 from ..train.data import BucketBatcher, RVCDataset
 from ..train.step import Trainer
+from ..train.summaries import plot_spectrogram_to_numpy, summarize
 
 
 @dataclass
@@ -44,6 +45,8 @@ class TrainRunConfig:
     export_name: str = "model"
     balancer_active: bool = True
     use_multiscale: bool = False
+    log_media: bool = True  # TB spectrogram images + audio on log steps
+    eval_every_n: int = 0  # hold out every n-th utterance (0 → no eval)
 
 
 def train_model(config: RVCConfig, run: TrainRunConfig) -> str:
@@ -57,7 +60,22 @@ def train_model(config: RVCConfig, run: TrainRunConfig) -> str:
     except Exception:
         pass
 
-    dataset = RVCDataset(run.filelist, config.data, use_f0=config.model.use_f0)
+    train_list: str | list[str] = run.filelist
+    eval_batcher = None
+    if run.eval_every_n > 1:
+        with open(run.filelist, encoding="utf-8") as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        eval_lines = lines[:: run.eval_every_n]
+        train_lines = [ln for i, ln in enumerate(lines)
+                       if i % run.eval_every_n != 0]
+        if train_lines and eval_lines:
+            train_list = train_lines
+            eval_ds = RVCDataset(eval_lines, config.data,
+                                 use_f0=config.model.use_f0)
+            eval_batcher = BucketBatcher(eval_ds, config.train.batch_size,
+                                         seed=config.train.seed)
+
+    dataset = RVCDataset(train_list, config.data, use_f0=config.model.use_f0)
     batcher = BucketBatcher(dataset, config.train.batch_size, seed=config.train.seed)
     steps_per_epoch = max(1, sum(len(v) // config.train.batch_size
                                  for v in batcher.buckets.values()))
@@ -108,13 +126,44 @@ def train_model(config: RVCConfig, run: TrainRunConfig) -> str:
                 state, metrics = step_fn(state, batch, jax.random.PRNGKey(global_step))
             global_step += 1
             if writer and run.log_interval > 0 and global_step % run.log_interval == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                for k, v in m.items():
-                    writer.add_scalar(f"loss/{k}", v, global_step)
-                writer.add_scalar("learning_rate",
-                                  trainer.sched_g(global_step), global_step)
+                viz = metrics.get("viz", {})
+                m = {k: float(v) for k, v in metrics.items() if k != "viz"}
+                scalars = {f"loss/{k}": v for k, v in m.items()}
+                scalars["learning_rate"] = trainer.sched_g(global_step)
+                images = audios = None
+                if run.log_media and viz:
+                    # reference training_cli.py:639-655: mel org/gen images,
+                    # squared-diff heatmap, original + generated audio
+                    y_mel = np.asarray(viz["y_mel"], np.float32)
+                    y_hat_mel = np.asarray(viz["y_hat_mel"], np.float32)
+                    images = {
+                        "slice/mel_org": plot_spectrogram_to_numpy(y_mel),
+                        "slice/mel_gen": plot_spectrogram_to_numpy(y_hat_mel),
+                        "slice/diff^2": plot_spectrogram_to_numpy(
+                            (y_mel - y_hat_mel) ** 2, cmap="hot"),
+                    }
+                    audios = {
+                        "slice/wave_org": np.asarray(viz["wave_org"]),
+                        "slice/wave_gen": np.asarray(viz["wave_gen"]),
+                    }
+                summarize(writer, global_step, scalars=scalars, images=images,
+                          audios=audios,
+                          audio_sampling_rate=config.data.sampling_rate)
             epoch_mel.append(float(metrics["loss_mel"]))
         mean_mel = float(np.mean(epoch_mel)) if epoch_mel else float("inf")
+        if eval_batcher is not None:
+            ev = trainer.eval_fn()
+            ev_losses = []
+            for batch in eval_batcher.epoch(0):  # fixed order: comparable
+                batch = shard_batch(mesh, batch)
+                with mesh:
+                    ev_losses.append(float(ev(state.params_g, batch,
+                                              jax.random.PRNGKey(0))))
+            if ev_losses:
+                eval_mel = float(np.mean(ev_losses))
+                mean_mel = eval_mel  # best-model tracking on held-out data
+                if writer:
+                    writer.add_scalar("eval/loss_mel", eval_mel, global_step)
         print(f"epoch {epoch}: {time.time() - t0:.1f}s, mel={mean_mel:.3f}")
 
         if (epoch + 1) % run.save_every_epoch == 0 or epoch + 1 == run.total_epochs:

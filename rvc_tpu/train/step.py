@@ -79,6 +79,7 @@ class Trainer:
         self.msml = None  # optional MultiScaleMelLoss, set via use_multiscale()
         self.seg_frames = config.train.segment_size // config.data.hop_length
         self._step_fn = None
+        self._eval_fn = None
 
     def use_multiscale(self, **kwargs):
         self.msml = L.MultiScaleMelLoss(self.config.data.sampling_rate, **kwargs)
@@ -272,6 +273,14 @@ class Trainer:
                 "loss_disc": loss_disc, "loss_disc_all": loss_d_all,
                 "grad_norm_g": grad_norm_g, "grad_norm_d": grad_norm_d,
                 **{k: v for k, v in g_aux.items() if k != "balancer"},
+                # first-sample tensors for TensorBoard images/audio
+                # (reference training_cli.py:639-655); device arrays —
+                # downloaded only on log steps
+                "viz": {
+                    "y_mel": y_mel[0], "y_hat_mel": y_hat_mel[0],
+                    "wave_org": wave_seg[0, :, 0],
+                    "wave_gen": y_hat_f[0],
+                },
             }
             new_state = TrainState(
                 params_g=new_params_g, params_d=new_params_d,
@@ -287,3 +296,35 @@ class Trainer:
         if self._step_fn is None:
             self._step_fn = jax.jit(self._build_step(), donate_argnums=(0,))
         return self._step_fn
+
+    def eval_fn(self):
+        """Jitted held-out evaluation: generator forward (no grads, no
+        discriminator) → sliced mel L1. The reference has no eval pass at
+        all (training_cli.py logs train-slice mel only); this is the knob a
+        user needs to see divergence/overfit on data the GAN never trains
+        on."""
+        if self._eval_fn is None:
+            cfg = self.config
+            d, synth, seg_frames = cfg.data, self.synth, self.seg_frames
+
+            def ev(params_g, batch, key):
+                y_hat, ids_slice, _, _, _ = synth.apply(
+                    params_g,
+                    batch["phone"], batch["phone_lengths"],
+                    batch.get("pitch"), batch.get("pitchf"),
+                    batch["spec"], batch["spec_lengths"], batch["sid"],
+                    rngs={"noise": key},
+                )
+                mel = spec_to_mel(batch["spec"], d.filter_length,
+                                  d.n_mel_channels, d.sampling_rate,
+                                  d.mel_fmin, d.mel_fmax)
+                y_mel = slice_segments(mel, ids_slice, seg_frames)
+                y_hat_mel = mel_spectrogram(
+                    y_hat[..., 0].astype(jnp.float32), d.filter_length,
+                    d.n_mel_channels, d.sampling_rate, d.hop_length,
+                    d.win_length, d.mel_fmin, d.mel_fmax,
+                )
+                return L.mel_l1(y_mel, y_hat_mel)
+
+            self._eval_fn = jax.jit(ev)
+        return self._eval_fn

@@ -1,74 +1,122 @@
-"""Training-step benchmark on the real TPU: full-size 48k_v2 GAN step
-(generator vjp + discriminator update + adaptive balancer), bf16.
+"""Training-step throughput benchmark on one chip (full-size 48k_v2 GAN).
 
-Prints one JSON line (secondary metric). State is materialized via
-eval_shape + host RNG — values don't affect step FLOPs/timing, and the
-full flax init would cost minutes of compile. Sync per timed step is a
-scalar metric readback (block_until_ready is a no-op over the tunnel).
+Counterpart of the reference's epoch timing (training_cli.py logs
+seconds/epoch): measures the jitted generator+discriminator step with the
+48k v2 synthesizer/MPD at the reference's default batch/segment sizes and
+prints ONE JSON line with steps/s and trained audio seconds per second.
+
+Usage: python scripts/bench_train.py [batch_size] (default 4).
 """
-import functools
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+def main():
+    import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-def bench_train_step(batch_size: int = 4, frames: int = 400, repeats: int = 5):
-    from rvc_tpu.config import PRESETS
+    import functools
+
+    import jax.numpy as jnp
+
+    from rvc_tpu.config import preset
     from rvc_tpu.train.step import Trainer
     from rvc_tpu.utils.fastinit import fast_init
 
-    cfg = PRESETS["48k_v2"]
-    trainer = Trainer(cfg, dtype=jnp.bfloat16)
-    hop = cfg.data.hop_length
+    import dataclasses
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    cfg = preset("48k_v2")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=batch_size))
+    d, t = cfg.data, cfg.train
+
     rng = np.random.default_rng(0)
-    B, T = batch_size, frames
+    T = 400  # ~3.3 s of 48 kHz audio per utterance (hop 480)
+    spec_ch = d.filter_length // 2 + 1
+    feat = 768  # v2 content-vec width
+    wave_len = T * d.hop_length
     batch = {
-        "phone": jnp.asarray(rng.standard_normal((B, T, 768)), jnp.float32),
-        "phone_lengths": jnp.full((B,), T, jnp.int32),
-        "pitch": jnp.asarray(rng.integers(1, 255, (B, T)), jnp.int32),
-        "pitchf": jnp.asarray(rng.uniform(100, 300, (B, T)), jnp.float32),
-        "spec": jnp.asarray(
-            rng.standard_normal((B, T, cfg.data.filter_length // 2 + 1)),
-            jnp.float32),
-        "spec_lengths": jnp.full((B,), T, jnp.int32),
-        "wave": jnp.asarray(0.1 * rng.standard_normal((B, T * hop)), jnp.float32),
-        "sid": jnp.zeros((B,), jnp.int32),
+        "phone": jnp.asarray(rng.standard_normal((batch_size, T, feat)),
+                             jnp.float32),
+        "phone_lengths": jnp.full((batch_size,), T, jnp.int32),
+        "pitch": jnp.asarray(rng.integers(1, 255, (batch_size, T)), jnp.int32),
+        "pitchf": jnp.asarray(rng.uniform(100, 300, (batch_size, T)),
+                              jnp.float32),
+        "spec": jnp.asarray(rng.standard_normal((batch_size, T, spec_ch)),
+                            jnp.float32),
+        "spec_lengths": jnp.full((batch_size,), T, jnp.int32),
+        "wave": jnp.asarray(0.1 * rng.standard_normal((batch_size, wave_len)),
+                            jnp.float32),
+        "sid": jnp.zeros((batch_size,), jnp.int32),
     }
-    state = fast_init(functools.partial(trainer.init_state, jax.random.PRNGKey(0)),
-                      batch)
+
+    dtype = (jnp.bfloat16 if any(dev.platform != "cpu"
+                                 for dev in jax.devices()) else jnp.float32)
+    trainer = Trainer(cfg, dtype=dtype)
+
+    # fast param materialization (init would compile the forward; see
+    # utils/fastinit.py), then the optimizer/balancer state as in init_state
+    params_g = fast_init(functools.partial(
+        trainer.synth.init,
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}),
+        batch["phone"], batch["phone_lengths"], batch["pitch"],
+        batch["pitchf"], batch["spec"], batch["spec_lengths"], batch["sid"])
+    seg = jnp.zeros((batch_size, t.segment_size, 1), dtype)
+    params_d = fast_init(functools.partial(
+        trainer.disc.init, jax.random.PRNGKey(2)), seg, seg)
+
+    from rvc_tpu.train import balancer as bal
+    from rvc_tpu.train.step import (D_LOSS_KEYS, G_LOSS_KEYS, TrainState,
+                                    lr_schedule, make_optimizer)
+
+    trainer.sched_g = lr_schedule(t.learning_rate, t.lr_decay, 100)
+    trainer.sched_d = lr_schedule(t.learning_rate, t.lr_decay, 100)
+    trainer.tx_g = make_optimizer(trainer.sched_g, t.betas, t.eps)
+    trainer.tx_d = make_optimizer(trainer.sched_d, t.betas, t.eps)
+    state = TrainState(
+        params_g=params_g, params_d=params_d,
+        opt_g=trainer.tx_g.init(params_g["params"]),
+        opt_d=trainer.tx_d.init(params_d["params"]),
+        step=jnp.zeros((), jnp.int32),
+        balancer_g=bal.init_state(len(G_LOSS_KEYS)),
+        balancer_d=bal.init_state(len(D_LOSS_KEYS)),
+    )
+
     step = trainer.step_fn()
-    t0 = time.time()
-    state, metrics = step(state, batch, jax.random.PRNGKey(1))
-    first = float(np.asarray(list(metrics.values())[0]))
-    compile_s = time.time() - t0
-    assert np.isfinite(first)
-    times = []
-    for i in range(repeats):
-        t0 = time.time()
-        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
-        float(np.asarray(list(metrics.values())[0]))
-        times.append(time.time() - t0)
-    best = min(times)
-    audio_s = B * T * hop / cfg.data.sampling_rate
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))  # compile
+    jax.block_until_ready(metrics["loss_mel"])
+
+    n, t0 = 10, time.perf_counter()
+    for i in range(n):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(metrics["loss_mel"])
+    dt = (time.perf_counter() - t0) / n
+
+    audio_s = batch_size * wave_len / d.sampling_rate
     print(json.dumps({
-        "metric": "train_step_48k_v2",
-        "value": round(best, 4), "unit": "s_per_step",
-        "steps_per_s": round(1 / best, 2),
-        "audio_x_realtime": round(audio_s / best, 1),
-        "batch": B, "frames": T, "dtype": "bfloat16",
-        "compile_s": round(compile_s, 1),
+        "metric": "train_step_48k_v2_per_chip",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps_per_s",
+        "detail": {
+            "batch_size": batch_size,
+            "utt_seconds": round(wave_len / d.sampling_rate, 2),
+            "audio_seconds_per_s": round(audio_s / dt, 2),
+            "loss_mel": round(float(metrics["loss_mel"]), 3),
+        },
     }))
-    return best
 
 
 if __name__ == "__main__":
-    bench_train_step()
+    main()

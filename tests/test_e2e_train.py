@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full GAN step
 from scipy.io import wavfile
 
 from rvc_tpu.config import RVCConfig, DataConfig, ModelConfig, TrainConfig

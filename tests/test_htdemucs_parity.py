@@ -7,6 +7,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity  # torch reference parity
+
 REF_LIB = "/root/reference/lib"
 
 

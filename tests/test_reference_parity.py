@@ -14,6 +14,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # full-scale torch parity
+
 REF_LIB = "/root/reference/lib"
 
 

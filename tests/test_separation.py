@@ -146,3 +146,35 @@ def test_fused_vr_matches_host_path(rng):
     n = min(len(vh), len(vf))
     corr = np.corrcoef(vh[:n], vf[:n])[0, 1]
     assert corr > 0.999, corr
+
+
+def test_mixer_real_checkpoint_parity():
+    """REAL pretrained weights: the reference ships lib/mixer.ckpt (UVR
+    mixer mode); run the torch Mixer and our matmul form with it and
+    compare exactly (reference lib/uvr5_pack/mdxnet.py:126-140)."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/lib/mixer.ckpt"
+    if not os.path.exists(path):
+        pytest.skip("reference mixer.ckpt not mounted")
+    torch = pytest.importorskip("torch")
+
+    from rvc_tpu.models.mdx_net import apply_mixer, load_mixer
+
+    w = load_mixer(path)
+    rng = np.random.default_rng(7)
+    stems = rng.standard_normal((4, 2, 1000)).astype(np.float32)
+    orig = rng.standard_normal((2, 1000)).astype(np.float32)
+
+    got = np.asarray(apply_mixer(w, jnp.asarray(stems), jnp.asarray(orig)))
+
+    lin = torch.nn.Linear(10, 8, bias=False)
+    lin.load_state_dict({"weight": torch.from_numpy(w)})
+    with torch.no_grad():
+        x = torch.from_numpy(np.concatenate([stems.reshape(8, -1), orig]))
+        x = x.reshape(1, 10, -1).transpose(-1, -2)
+        ref = lin(x).transpose(-1, -2).reshape(4, 2, -1).numpy()
+
+    assert np.max(np.abs(got - ref)) < 1e-5

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full GAN step
+
 from rvc_tpu.train import balancer as bal
 from rvc_tpu.train import losses as L
 from rvc_tpu.parallel.dryrun import make_tiny_batch, tiny_config, run_dryrun
@@ -96,7 +98,8 @@ def test_train_step_runs_and_descends():
     metrics_hist = []
     for i in range(3):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
-        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+        metrics_hist.append({k: float(v) for k, v in metrics.items()
+                             if k != "viz"})
     for m in metrics_hist:
         for k, v in m.items():
             assert np.isfinite(v), (k, v)

@@ -330,3 +330,101 @@ def test_musetalk_landmark_refined_crops(rng):
     x1, y1, x2, y2 = boxes[0]
     assert (lms[0][:, 0] >= x1 - 1).all() and (lms[0][:, 0] <= x2 + 1).all()
     assert (lms[0][:, 1] >= y1 - 1).all() and (lms[0][:, 1] <= y2 + 1).all()
+
+
+def test_beam_decode_parity_vs_reference_decoder(rng):
+    """beam_decode vs the reference vendored BeamSearchDecoder/
+    MaximumLikelihoodRanker (musetalk/whisper/whisper/decoding.py:281-368)
+    driven by the SAME tiny-flax logits: identical token sequence."""
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+
+    stubbed = "ffmpeg" not in sys.modules
+    if stubbed:  # whisper.audio imports ffmpeg at module scope
+        sys.modules["ffmpeg"] = types.ModuleType("ffmpeg")
+    sys.path.insert(0, "/root/reference/lib/musetalk/whisper")
+    try:
+        import whisper.decoding as D
+    finally:
+        sys.path.remove("/root/reference/lib/musetalk/whisper")
+
+    from rvc_tpu.models.whisper import beam_decode
+
+    dims = WhisperDims(n_mels=8, n_audio_ctx=10, n_audio_state=16,
+                       n_audio_head=2, n_audio_layer=1, n_vocab=64,
+                       n_text_ctx=24, n_text_state=16, n_text_head=2,
+                       n_text_layer=1)
+    model = Whisper(dims)
+    mel = jnp.asarray(rng.standard_normal((1, 20, 8)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), mel, jnp.zeros((1, 2), jnp.int32))
+    sot_seq, eot, beam, max_len = (1, 2), 0, 3, 12
+
+    got_tokens, got_avg = beam_decode(
+        params, dims, mel, beam_size=beam, sot_sequence=sot_seq, eot=eot,
+        max_len=max_len)
+
+    # ---- reference-side loop: same model logits through the torch decoder
+    class _FakeInference:
+        def rearrange_kv_cache(self, src):
+            pass
+
+    dec = D.BeamSearchDecoder(beam_size=beam, eot=eot,
+                              inference=_FakeInference())
+    audio = model.apply(params, mel, method=Whisper.embed_audio)
+    audio_b = jnp.repeat(audio, beam, axis=0)
+    tokens = torch.tensor([list(sot_seq)] * beam)
+    sum_logprobs = torch.zeros(beam)
+    completed = False
+    for _ in range(max_len):
+        tj = jnp.asarray(tokens.numpy().astype(np.int32))
+        logits = model.apply(params, tj, audio_b, method=Whisper.logits)
+        row = torch.from_numpy(np.asarray(logits[:, -1], np.float32))
+        tokens, completed = dec.update(tokens, row, sum_logprobs)
+        if completed:
+            break
+    seqs, lps = dec.finalize(tokens[None] if tokens.ndim == 2 else tokens,
+                             sum_logprobs[None])
+    ranker = D.MaximumLikelihoodRanker(None)
+    sel = ranker.rank(seqs, lps)[0]
+    ref_full = seqs[0][sel].tolist()
+    ref_tokens = ref_full[len(sot_seq):]
+    if ref_tokens and ref_tokens[-1] == eot:
+        ref_tokens = ref_tokens[:-1]
+    ref_avg = lps[0][sel] / (len(ref_tokens) + 1)
+
+    if stubbed:
+        sys.modules.pop("ffmpeg", None)
+    for name, mod in list(sys.modules.items()):
+        f = getattr(mod, "__file__", None)
+        if f and str(f).startswith("/root/reference"):
+            sys.modules.pop(name, None)
+
+    assert got_tokens.tolist() == ref_tokens
+    assert abs(got_avg - ref_avg) < 1e-4
+
+
+def test_decode_with_fallback_ladder(rng, monkeypatch):
+    """Degenerate beam output (low avg logprob) triggers temperature
+    retries (reference transcribe.py decode_with_fallback)."""
+    from rvc_tpu.models import whisper as W
+
+    calls = []
+
+    def fake_beam(params, dims, mel, **kw):
+        calls.append(("beam", 0.0))
+        return np.asarray([5, 5, 5, 5], np.int32), -3.0  # low confidence
+
+    def fake_sample(params, dims, mel, temperature, **kw):
+        calls.append(("sample", temperature))
+        # recovers at t=0.4
+        return (np.asarray([7, 8, 9], np.int32),
+                -0.2 if temperature >= 0.4 else -3.0)
+
+    monkeypatch.setattr(W, "beam_decode", fake_beam)
+    monkeypatch.setattr(W, "_sample_decode", fake_sample)
+    tokens, info = W.decode_with_fallback(None, None, None)
+    assert tokens.tolist() == [7, 8, 9]
+    assert info["temperature"] == 0.4 and info["avg_logprob"] == -0.2
+    assert [c[1] for c in calls] == [0.0, 0.2, 0.4]
