@@ -80,6 +80,8 @@ def run_dryrun(n_devices: int) -> None:
     with mesh:
         new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     for k, v in metrics.items():
+        if k == "viz":  # TB image/audio tensors, not scalars
+            continue
         val = float(v)
         assert np.isfinite(val), f"metric {k} not finite: {val}"
     assert int(new_state.step) == 1
@@ -89,6 +91,64 @@ def run_dryrun(n_devices: int) -> None:
 
     if n_devices >= 4:
         _dryrun_dp_tp(trainer, make_tiny_batch(n_devices * 2), metrics)
+
+    _dryrun_inference(n_devices)
+
+
+def _dryrun_inference(n_devices: int) -> None:
+    """Batch-of-songs conversion sharded over a dp mesh: N songs' chunks in
+    ONE fused dispatch (pipelines/convert.py convert_batch), the chunk grid
+    NamedSharding-ed over 'dp'. Tiny HuBERT + tiny synthesizer so the
+    virtual-CPU compile stays cheap; validates that the inference sharding
+    (not just the train step) compiles and executes under GSPMD."""
+    import dataclasses
+
+    import jax
+
+    from ..config import RVCConfig, DataConfig, ModelConfig
+    from ..models.hubert import HubertConfig
+    from ..pipelines.convert import ConvertSettings, make_random_converter
+    from .mesh import make_mesh
+
+    cfg = RVCConfig(
+        data=DataConfig(sampling_rate=6400, filter_length=64, hop_length=64,
+                        win_length=64, n_mel_channels=16),
+        model=ModelConfig(
+            inter_channels=8, hidden_channels=8, filter_channels=16,
+            n_heads=2, n_layers=1, kernel_size=3, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),), upsample_rates=(8, 4, 2),
+            upsample_initial_channel=16, upsample_kernel_sizes=(16, 8, 4),
+            gin_channels=8, spk_embed_dim=2, version="v2", use_f0=True,
+        ),
+    )
+    # chunking in seconds: x_max=5 so the 8 s song splits into chunks
+    cfg = dataclasses.replace(cfg, x_pad=1, x_query=2, x_center=3, x_max=5)
+    hub = HubertConfig(hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=2, intermediate_size=64,
+                       conv_dim=(32,) * 7, num_conv_pos_embeddings=16,
+                       num_conv_pos_embedding_groups=4)
+    vc = make_random_converter(seed=0, hubert_cfg=hub, with_rmvpe=False,
+                               config=cfg, feature_dim=32)
+    vc.mesh = make_mesh(n_devices, jax.devices())
+
+    rng = np.random.default_rng(0)
+    songs = [
+        (0.3 * np.sin(2 * np.pi * 180 * np.arange(16000 * sec) / 16000)
+         + 0.01 * rng.standard_normal(16000 * sec)).astype(np.float32)
+        for sec in (8, 4)
+    ]
+    s = ConvertSettings(f0_method="pm", index_rate=0.0, rms_mix_rate=1.0)
+    with vc.mesh:
+        outs = vc.convert_batch(songs, settings=s)
+    for (wav, sr), src in zip(outs, songs):
+        expected = len(src) * sr // 16000
+        assert wav.dtype == np.int16
+        assert abs(len(wav) - expected) <= sr // 100 * 2, (len(wav), expected)
+        assert int(np.abs(wav.astype(np.int32)).max()) > 0
+    print(f"inference dryrun OK on {n_devices} devices; "
+          f"{len(songs)} songs in one dp-sharded dispatch, "
+          f"outputs {[len(w) for w, _ in outs]} samples @ "
+          f"{outs[0][1]} Hz")
 
 
 def _dryrun_dp_tp(trainer, batch, ref_metrics) -> None:

@@ -444,6 +444,133 @@ class VoiceConverter:
             out_sr = s.resample_sr
         return audio_opt, out_sr
 
+    def convert_batch(
+        self,
+        audios: Sequence[np.ndarray],
+        input_sr: int = SR,
+        settings: ConvertSettings | None = None,
+        bucket_samples: int = 1600,
+    ) -> list[tuple[np.ndarray, int]]:
+        """N songs in ONE fused dispatch — the multi-chip throughput mode.
+
+        Every song's padded waveform is packed into a single flat device
+        buffer and every song's chunks into a single chunk batch; on a dp
+        ``mesh`` the batch shards across chips so each chip converts its
+        share of the grid over ICI (reference vc_infer_pipeline.py:116-196
+        converts one chunk at a time on one GPU — there is no batch mode
+        to match; this axis exceeds it). Settings are shared across songs;
+        the int16 peak normalization is global over the batch (per-song
+        renormalization is a host-side rescale if loudness matching with
+        single-song `convert` is needed). Requires a single (str) f0
+        method so the f0 chain stays inside the fused core.
+
+        Returns ``[(int16 audio, sr), ...]`` in input order.
+        """
+        s = settings or ConvertSettings()
+        if self.use_f0 and not isinstance(s.f0_method, str):
+            raise ValueError(
+                "convert_batch requires a single f0 method (hybrid "
+                "multi-method merging is per-song: use convert())")
+        buffers: list[np.ndarray] = []
+        starts_l: list[int] = []
+        lengths_l: list[int] = []
+        owner_l: list[int] = []
+        offset = 0
+        for si, audio in enumerate(audios):
+            if input_sr != SR:
+                audio, _ = remix_audio((audio, input_sr), target_sr=SR)
+            audio = butter_highpass_host(
+                np.asarray(audio, np.float32), 48.0, SR)
+            opt_ts: list[int] = []
+            if len(audio) + WINDOW > self.t_max:
+                opt_ts = find_split_points(audio, self.t_center, self.t_query)
+            audio_pad = np.pad(audio, (self.t_pad, self.t_pad), mode="reflect")
+            P = len(audio_pad)
+            Pb = int(np.ceil((P + 1) / 16000) * 16000)
+            tail = Pb - P
+            buffers.append(np.pad(
+                audio_pad, (0, tail),
+                mode="reflect" if tail < P else "constant"))
+            start = 0
+            for t in opt_ts:
+                t = t // WINDOW * WINDOW
+                starts_l.append(offset + start)
+                lengths_l.append(t + self.t_pad2 + WINDOW - start)
+                owner_l.append(si)
+                start = t
+            starts_l.append(offset + start)
+            lengths_l.append(P - start)
+            owner_l.append(si)
+            offset += Pb
+
+        flat = np.concatenate(buffers)
+        peak = float(np.abs(flat).max())
+        q_scale = 32766.0 / max(peak, 1e-9)
+        audio_dev = jnp.asarray(np.rint(flat * q_scale).astype(np.int16))
+        inv_scale = 1.0 / q_scale
+
+        starts = np.asarray(starts_l, np.int32)
+        lengths = np.asarray(lengths_l, np.int32)
+        owner = np.asarray(owner_l, np.int32)
+        L = int(np.ceil(lengths.max() / bucket_samples) * bucket_samples)
+        N_real = len(starts)
+        n_dp = self.mesh.shape["dp"] if self.mesh is not None else 1
+        if N_real % n_dp:
+            pad_n = n_dp - N_real % n_dp
+            starts = np.concatenate([starts, np.repeat(starts[-1:], pad_n)])
+            lengths = np.concatenate([lengths, np.repeat(lengths[-1:], pad_n)])
+        N = len(starts)
+
+        f0_spec = None
+        pitch_params = None
+        if self.use_f0:
+            f0_spec = (s.f0_method, bool(s.f0_autotune), int(s.filter_radius),
+                       int(s.crepe_hop_length), float(s.f0_min),
+                       float(s.f0_max))
+            pitch_params = self.pitch._method_params(s.f0_method)
+        use_index = self.index_bank is not None and s.index_rate > 0
+        protect_on = self.use_f0 and s.protect < 0.5
+        rms_mix = s.rms_mix_rate < 1
+        core = self._core2(use_index, self.use_f0, protect_on, rms_mix, L,
+                           f0_spec=f0_spec, concat_out=False)
+        bank = (self.index_bank if use_index
+                else jnp.zeros((1, 1), jnp.float32))
+        ints = jnp.asarray(np.stack([
+            starts, lengths,
+            np.full((N,), s.sid, np.int32)]).astype(np.int32))
+        scalars = jnp.asarray(np.array(
+            [s.index_rate, s.protect, s.rms_mix_rate, s.f0_up_key, inv_scale],
+            np.float32))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            ints = jax.device_put(ints, NamedSharding(self.mesh,
+                                                      Pspec(None, "dp")))
+        out16 = core(self.synth_params, self.hubert_params, pitch_params,
+                     bank, audio_dev, ints, scalars, None, None,
+                     self._noise_key)
+        out16 = np.asarray(out16)[:N_real]
+
+        ratio = self.tgt_sr // 100
+        results: list[tuple[np.ndarray, int]] = []
+        for si in range(len(audios)):
+            pieces = []
+            for i in np.nonzero(owner == si)[0]:
+                p_len = min(int(lengths[i]) // WINDOW, out16.shape[1] // ratio)
+                valid = out16[i, : p_len * ratio]
+                pieces.append(
+                    valid[self.t_pad_tgt : len(valid) - self.t_pad_tgt])
+            song = np.concatenate(pieces)
+            out_sr = self.tgt_sr
+            if s.resample_sr >= SR and s.resample_sr != self.tgt_sr:
+                res = self._jit_resample(s.resample_sr)(
+                    jnp.asarray(song, jnp.float32)[None])[0]
+                song = np.clip(np.asarray(res), 1 - MAX_INT16,
+                               MAX_INT16 - 1).astype(np.int16)
+                out_sr = s.resample_sr
+            results.append((song, out_sr))
+        return results
+
 
 def make_random_converter(
     preset: str = "40k_v2",
@@ -452,22 +579,29 @@ def make_random_converter(
     hubert_cfg: HubertConfig | None = None,
     with_rmvpe: bool = True,
     chunking: tuple[int, int, int, int] | None = None,
+    config: RVCConfig | None = None,
+    feature_dim: int | None = None,
 ) -> VoiceConverter:
     """Build a converter with randomly initialized weights (for tests/bench
     until real checkpoints are mounted). ``chunking`` overrides
     (x_pad, x_query, x_center, x_max) — on TPU, shorter chunks batched
-    together beat one giant chunk (attention memory scales with T²)."""
+    together beat one giant chunk (attention memory scales with T²).
+    ``config`` replaces the preset wholesale (tiny configs for dryruns);
+    ``feature_dim`` overrides the version-derived HuBERT feature width so
+    a reduced HuBERT can drive a reduced synthesizer."""
     import dataclasses
 
     from ..config import preset as get_preset
 
-    cfg = get_preset(preset)
+    cfg = config or get_preset(preset)
     if chunking is not None:
         cfg = dataclasses.replace(
             cfg, x_pad=chunking[0], x_query=chunking[1], x_center=chunking[2],
             x_max=chunking[3],
         )
     synth = Synthesizer.from_config(cfg.model, cfg.data, cfg.train.segment_size, dtype=dtype)
+    if feature_dim is not None:
+        synth = dataclasses.replace(synth, feature_dim=feature_dim)
     kwargs = {f: getattr(synth, f) for f in (
         "spec_channels", "segment_size", "inter_channels", "hidden_channels",
         "filter_channels", "n_heads", "n_layers", "kernel_size", "p_dropout",

@@ -129,6 +129,57 @@ def test_convert_no_f0_path():
     assert np.abs(out).max() > 0
 
 
+def test_convert_batch_matches_single(converter):
+    """convert_batch([x]) must reproduce convert(x): same chunk batch, same
+    (constant) noise key, same quantization peak — the only difference is
+    the grid-output path vs the packed-concat path, which must agree.
+
+    (A multi-song batch CANNOT be waveform-compared against per-song runs:
+    the flow's latent noise is drawn once per chunk-batch row, so a chunk
+    sitting at a different row index draws different noise — audibly
+    equivalent, not bit-equal.)"""
+    x = _test_signal(2.5)
+    s = ConvertSettings(f0_method="pm", index_rate=0.0)
+    [(b, sr_b)] = converter.convert_batch([x], settings=s)
+    g, sr_g = converter.convert(x, settings=s)
+    assert sr_b == sr_g == 16000
+    assert b.dtype == np.int16
+    n = min(len(b), len(g))
+    bf, gf = b[:n].astype(np.float64), g[:n].astype(np.float64)
+    resid = np.linalg.norm(bf - gf) / max(np.linalg.norm(gf), 1e-9)
+    assert resid < 2e-3, resid
+
+
+def test_convert_batch_multi_song(converter):
+    """Two songs in one dispatch: per-song durations and non-degenerate
+    output; relative loudness preserved by the global normalization."""
+    songs = [_test_signal(6.0), _test_signal(2.5) * 0.6]
+    s = ConvertSettings(f0_method="pm", index_rate=0.0)
+    outs = converter.convert_batch(songs, settings=s)
+    for (b, sr_b), src in zip(outs, songs):
+        assert sr_b == 16000
+        assert b.dtype == np.int16
+        assert abs(len(b) - len(src)) <= 16000 // 100 * 3
+        assert np.abs(b).max() > 0
+
+
+def test_convert_batch_dp_sharded():
+    """Batch-of-songs over an 8-device dp mesh (multi-chip throughput
+    serving mode): one dp-sharded dispatch for all songs' chunks."""
+    from rvc_tpu.parallel.mesh import make_mesh
+
+    vc = tiny_converter()
+    vc.mesh = make_mesh(8)
+    songs = [_test_signal(8.0), _test_signal(3.0)]
+    with vc.mesh:
+        outs = vc.convert_batch(
+            songs, settings=ConvertSettings(f0_method="pm", index_rate=0.0))
+    for (out, sr), src in zip(outs, songs):
+        assert sr == 16000
+        assert abs(len(out) - len(src)) <= 16000 // 100 * 3
+        assert np.abs(out).max() > 0
+
+
 def test_convert_dp_sharded():
     """Chunk batch sharded over an 8-device dp mesh matches output duration."""
     import jax
