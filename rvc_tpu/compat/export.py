@@ -33,6 +33,32 @@ def export_infer(synth, params, feature_dim: int, max_frames: int = 2048,
     return exported.serialize()
 
 
+def export_infer_mix(synth, params, feature_dim: int, max_frames: int = 2048,
+                     batch: int = 1):
+    """Serialize ``Synthesizer.infer_mix`` to StableHLO bytes — the
+    counterpart of the reference speaker-mix ONNX export
+    (models_onnx.py:530-628 SynthesizerTrnMsNSFsidM + construct_spkmixmap):
+    the exported graph takes a (B, n_spk) speaker weight map instead of a
+    speaker id and blends the embedding table on device."""
+    from jax import export as jexport
+
+    def fn(phone, lengths, pitch, nsff0, spk_mix, key):
+        o, _, _ = synth.apply(params, phone, lengths, pitch, nsff0, spk_mix,
+                              method=synth.infer_mix, rngs={"noise": key})
+        return o[..., 0]
+
+    args = (
+        jax.ShapeDtypeStruct((batch, max_frames, feature_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+        jax.ShapeDtypeStruct((batch, max_frames), jnp.int32),
+        jax.ShapeDtypeStruct((batch, max_frames), jnp.float32),
+        jax.ShapeDtypeStruct((batch, synth.spk_embed_dim), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
+    exported = jexport.export(jax.jit(fn))(*args)
+    return exported.serialize()
+
+
 def load_exported(blob: bytes):
     """Deserialize an exported graph; returns a callable."""
     from jax import export as jexport

@@ -75,6 +75,24 @@ def test_stablehlo_export_roundtrip(rng):
     assert np.asarray(out).shape == (1, 8 * 160)
 
 
+def test_stablehlo_export_spk_mix(rng):
+    """Speaker-mix export (reference models_onnx.py SynthesizerTrnMsNSFsidM
+    counterpart): the serialized graph takes a (B, n_spk) weight map."""
+    from rvc_tpu.compat.export import export_infer_mix, load_exported
+    from rvc_tpu.models.synthesizer import Synthesizer
+
+    net = Synthesizer(**TINY)
+    params = _mk_params(net, 0)
+    blob = export_infer_mix(net, params, 24, max_frames=8)
+    fn = load_exported(blob)
+    mix = jnp.asarray([[0.25, 0.25, 0.25, 0.25]], jnp.float32)
+    out = fn(jnp.zeros((1, 8, 24)), jnp.array([8], jnp.int32),
+             jnp.ones((1, 8), jnp.int32), jnp.full((1, 8), 150.0),
+             mix, jnp.zeros((2,), jnp.uint32))
+    assert np.asarray(out).shape == (1, 8 * 160)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_audio_processor(rng):
     from rvc_tpu.io.audio import AudioProcessor
 
