@@ -16,13 +16,13 @@ from scipy import signal as _ss
 
 
 def frame_rms(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
-    """Center-padded frame RMS (librosa.feature.rms semantics)."""
-    pad = frame_length // 2
-    y = np.pad(y, (pad, pad), mode="constant")
-    n_frames = 1 + (len(y) - frame_length) // hop_length
-    idx = np.arange(frame_length)[None, :] + hop_length * np.arange(n_frames)[:, None]
-    frames = y[idx]
-    return np.sqrt(np.mean(frames * frames, axis=-1))
+    """Center-padded frame RMS (librosa.feature.rms semantics). Dispatches
+    to the native streaming kernel (rvc_tpu/native) when built — numpy
+    materializes a (n_frames, frame_length) matrix, a 4× data blowup at
+    the slicer's win=4·hop."""
+    from ..native import frame_rms as native_frame_rms
+
+    return native_frame_rms(np.asarray(y), frame_length, hop_length)
 
 
 class Slicer:
@@ -56,7 +56,18 @@ class Slicer:
         return waveform[..., lo:hi]
 
     def _silence_tags(self, rms: np.ndarray) -> list[tuple[int, int]]:
-        """Scan the RMS track and emit (start, end) frame ranges to delete."""
+        """Scan the RMS track and emit (start, end) frame ranges to delete.
+
+        The scan is sequential and branchy — the native state machine
+        (native/rvc_host.cpp slicer_silence_tags) runs it when built;
+        this Python loop is the reference fallback (same decisions,
+        asserted equal in tests/test_native.py)."""
+        from ..native import slicer_silence_tags
+
+        native = slicer_silence_tags(rms, self.threshold, self.min_interval,
+                                     self.min_length, self.max_sil_kept)
+        if native is not None:
+            return native
         tags: list[tuple[int, int]] = []
         sil_start: int | None = None
         clip_start = 0
@@ -106,7 +117,9 @@ class Slicer:
         mono = filtered.mean(axis=0) if filtered.ndim > 1 else filtered
         if mono.shape[0] <= self.min_length:
             return [filtered]
-        rms = frame_rms(mono, self.win_size, self.hop_size)
+        # float32 RMS (native streaming kernel): audio-scale precision,
+        # decisions identical to the float64 track in practice (tested)
+        rms = frame_rms(mono.astype(np.float32), self.win_size, self.hop_size)
         tags = self._silence_tags(rms)
         if not tags:
             return [filtered]

@@ -328,11 +328,12 @@ class VoiceConverter:
         tail = Pb - P
         audio_pad_b = np.pad(audio_pad, (0, tail),
                              mode="reflect" if tail < P else "constant")
-        peak = float(np.abs(audio_pad_b).max())
-        q_scale = 32766.0 / max(peak, 1e-9)
-        audio_dev = jnp.asarray(
-            np.rint(audio_pad_b * q_scale).astype(np.int16))
-        inv_scale = 1.0 / q_scale
+        # one-pass native peak scan + quantize (numpy fallback inside)
+        from ..native import peak_quantize_i16
+
+        q16, peak = peak_quantize_i16(audio_pad_b)
+        audio_dev = jnp.asarray(q16)
+        inv_scale = max(peak, 1e-9) / 32766.0
 
         # --- f0: single-method (the default) runs INSIDE the fused core —
         # one dispatch for the whole song. Hybrid multi-method merging
@@ -504,10 +505,11 @@ class VoiceConverter:
             offset += Pb
 
         flat = np.concatenate(buffers)
-        peak = float(np.abs(flat).max())
-        q_scale = 32766.0 / max(peak, 1e-9)
-        audio_dev = jnp.asarray(np.rint(flat * q_scale).astype(np.int16))
-        inv_scale = 1.0 / q_scale
+        from ..native import peak_quantize_i16
+
+        q16, peak = peak_quantize_i16(flat)
+        audio_dev = jnp.asarray(q16)
+        inv_scale = max(peak, 1e-9) / 32766.0
 
         starts = np.asarray(starts_l, np.int32)
         lengths = np.asarray(lengths_l, np.int32)
