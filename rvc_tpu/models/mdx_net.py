@@ -330,4 +330,9 @@ def apply_mixer(weight: np.ndarray, stems: jnp.ndarray,
     matmul — MXU-friendly, no transposes materialized."""
     T = stems.shape[-1]
     x = jnp.concatenate([stems.reshape(8, T), original], axis=0)  # (10, T)
-    return (jnp.asarray(weight) @ x).reshape(4, 2, T)
+    # HIGHEST: a (8,10)x(10,T) matmul is negligible compute, but the TPU
+    # MXU's default bf16 passes cost ~1e-2 abs error vs the torch reference
+    # — this is a parity-gated op (scripts/parity_real.py gate_mixer).
+    out = jnp.matmul(jnp.asarray(weight), x,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(4, 2, T)

@@ -123,11 +123,18 @@ class SourceModuleHnNSF(nn.Module):
 
 
 class ResBlock1(nn.Module):
-    """3×(dilated conv + plain conv) residual stack (modules.ResBlock1)."""
+    """3×(dilated conv + plain conv) residual stack (modules.ResBlock1).
+
+    ``s2d`` > 1: activations arrive/leave in the packed space-to-depth
+    layout (B, T/S, S·C); the convs use the exact block-Toeplitz weight
+    rearrangement (layers._s2d_weight) so small-channel stages fill the
+    MXU's 128 lanes. Parameters are identical either way.
+    """
 
     channels: int
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3, 5)
+    s2d: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -139,7 +146,8 @@ class ResBlock1(nn.Module):
             xt = Conv1d(
                 self.channels, self.channels, self.kernel_size,
                 dilation=d, padding=(self.kernel_size * d - d) // 2,
-                weight_norm=True, dtype=self.dtype, name=f"convs1_{i}",
+                weight_norm=True, s2d=self.s2d, dtype=self.dtype,
+                name=f"convs1_{i}",
             )(xt)
             xt = leaky_relu(xt, LRELU_SLOPE)
             if x_mask is not None:
@@ -147,7 +155,8 @@ class ResBlock1(nn.Module):
             xt = Conv1d(
                 self.channels, self.channels, self.kernel_size,
                 dilation=1, padding=(self.kernel_size - 1) // 2,
-                weight_norm=True, dtype=self.dtype, name=f"convs2_{i}",
+                weight_norm=True, s2d=self.s2d, dtype=self.dtype,
+                name=f"convs2_{i}",
             )(xt)
             x = xt + x
         if x_mask is not None:
@@ -159,6 +168,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3)
+    s2d: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -170,7 +180,8 @@ class ResBlock2(nn.Module):
             xt = Conv1d(
                 self.channels, self.channels, self.kernel_size,
                 dilation=d, padding=(self.kernel_size * d - d) // 2,
-                weight_norm=True, dtype=self.dtype, name=f"convs_{i}",
+                weight_norm=True, s2d=self.s2d, dtype=self.dtype,
+                name=f"convs_{i}",
             )(xt)
             x = xt + x
         if x_mask is not None:
@@ -235,14 +246,30 @@ class GeneratorNSF(nn.Module):
                 x_source = Conv1d(1, c_cur, 1, dtype=self.dtype, name=f"noise_convs_{i}")(har)
             # stride_f0//2 padding can overshoot by one frame; crop to match.
             x = x + x_source[:, : x.shape[1]]
+            # space-to-depth the small-channel stages: (B, T, C) →
+            # (B, T/S, S·C) is a free row-major reshape; the resblock convs
+            # then run as full-width 128-lane MXU tiles instead of C-lane
+            # slivers. Exact — see layers._s2d_weight.
+            # Measured (v5e): s2d wins for every C < 128 — even the k=11,d=5
+            # C=64 case with 4.9× tap inflation (2.74→2.41 ms/op) because the
+            # plain small-channel conv is bandwidth/overhead-bound (4-13 TF/s)
+            # while the 128-lane form streams at 20-73 TF/s.
+            S = 128 // c_cur if (128 % c_cur == 0 and c_cur < 128) else 1
+            if S > 1 and x.shape[1] % S:
+                S = 1
+            B_, T_ = x.shape[0], x.shape[1]
+            if S > 1:
+                x = x.reshape(B_, T_ // S, S * c_cur)
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                r = rb_cls(c_cur, rk, tuple(rd), dtype=self.dtype,
+                r = rb_cls(c_cur, rk, tuple(rd), s2d=S, dtype=self.dtype,
                            name=f"resblocks_{i * num_kernels + j}")(x)
                 xs = r if xs is None else xs + r
             x = xs / num_kernels
+            if S > 1:
+                x = x.reshape(B_, T_, c_cur)
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
         x = Conv1d(c_cur, 1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(x)
         return jnp.tanh(x)  # (B, T*upp, 1)
@@ -281,14 +308,22 @@ class Generator(nn.Module):
                 self.upsample_initial_channel // (2**i), ch, k, stride=u,
                 padding=(k - u) // 2, weight_norm=True, dtype=self.dtype, name=f"ups_{i}",
             )(x)
+            S = 128 // ch if (128 % ch == 0 and ch < 128) else 1
+            if S > 1 and x.shape[1] % S:
+                S = 1
+            B_, T_ = x.shape[0], x.shape[1]
+            if S > 1:
+                x = x.reshape(B_, T_ // S, S * ch)
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                r = rb_cls(ch, rk, tuple(rd), dtype=self.dtype,
+                r = rb_cls(ch, rk, tuple(rd), s2d=S, dtype=self.dtype,
                            name=f"resblocks_{i * num_kernels + j}")(x)
                 xs = r if xs is None else xs + r
             x = xs / num_kernels
+            if S > 1:
+                x = x.reshape(B_, T_, ch)
         x = leaky_relu(x, 0.01)
         x = Conv1d(ch, 1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(x)
         return jnp.tanh(x)
