@@ -85,6 +85,7 @@ class VoiceConverter:
         config: RVCConfig | None = None,
         dtype: Any = jnp.float32,
         mesh=None,
+        index_int8: bool = False,
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — the chunk
         batch shards across chips (one song's chunks, or many songs' chunks,
@@ -102,9 +103,17 @@ class VoiceConverter:
         self.hubert = HubertEncoder(hubert_cfg or HubertConfig(), dtype=dtype)
         self.hubert_params = hubert_params
         self.pitch = pitch or PitchExtractor(dtype=dtype)
-        self.index_bank = (
-            jnp.asarray(index_bank, jnp.float32) if index_bank is not None else None
-        )
+        if index_bank is None:
+            self.index_bank = None
+        elif index_int8:
+            # per-row int8 bank: 4× less HBM stream per retrieval dispatch
+            # (ops/pallas_retrieval.quantize_bank); the core dequantizes
+            # tile-by-tile in VMEM.
+            from ..ops.pallas_retrieval import quantize_bank
+
+            self.index_bank = quantize_bank(index_bank)
+        else:
+            self.index_bank = jnp.asarray(index_bank, jnp.float32)
         # chunking constants (reference pitch_extraction.py:26-31)
         c = self.config
         self.t_pad = SR * c.x_pad
@@ -163,9 +172,21 @@ class VoiceConverter:
                 method, f0_min, f0_max, filter_radius, crepe_hop)
 
         def core2(synth_params, hubert_params, pitch_params, bank, audio_q,
-                  ints, scalars, pitch_full, pitchf_full, key):
+                  ints, scalars, pitch_full, pitchf_full, key, *, n_chunks=0):
             # ints: (3, N) int32 [starts; lengths; sid]
             # scalars: (5,) f32 [index_rate, protect, rms_rate, up_key, inv_scale]
+            if n_chunks:
+                # single-upload layout: every host→device RPC over the
+                # remote-chip tunnel costs ~30 ms of latency, so the int16
+                # waveform, the (3, N) int32 chunk table, and the (5,) f32
+                # scalars travel as ONE int16 buffer; the small args are
+                # int16 bit-pairs reassembled here with two bitcasts.
+                tail = 6 * n_chunks + 10
+                ints = jax.lax.bitcast_convert_type(
+                    audio_q[-tail:-10].reshape(3, n_chunks, 2), jnp.int32)
+                scalars = jax.lax.bitcast_convert_type(
+                    audio_q[-10:].reshape(5, 2), jnp.float32)
+                audio_q = audio_q[:-tail]
             starts, lengths, sid = ints[0], ints[1], ints[2]
             index_rate, protect, rms_rate = scalars[0], scalars[1], scalars[2]
             audio_pad = audio_q.astype(jnp.float32) * scalars[4]
@@ -232,7 +253,7 @@ class VoiceConverter:
             o = o * (MAX_INT16 / jnp.maximum(audio_max, 1e-9))
             return jnp.clip(o, 1 - MAX_INT16, MAX_INT16 - 1).astype(jnp.int16)
 
-        return jax.jit(core2)
+        return jax.jit(core2, static_argnames=("n_chunks",))
 
     def _make_core_fn(self, use_index: bool, use_f0: bool, protect_on: bool):
         synth, hubert = self.synth, self.hubert
@@ -246,16 +267,22 @@ class VoiceConverter:
             )
             feats0 = feats
             if use_index:
+                is_q = isinstance(bank, tuple)  # (int8 values, row scales)
                 if jax.default_backend() != "cpu":
                     # streaming Pallas kernel: O(T·D) memory, bank stays tiled
-                    from ..ops.pallas_retrieval import blend_into as _pallas_blend
+                    from ..ops import pallas_retrieval as _pr
 
-                    feats = _pallas_blend(feats, bank, index_rate).astype(feats.dtype)
+                    if is_q:
+                        feats = _pr.blend_into_q(
+                            feats, bank[0], bank[1], index_rate).astype(feats.dtype)
+                    else:
+                        feats = _pr.blend_into(feats, bank, index_rate).astype(feats.dtype)
                 else:
                     from ..retrieval.index import _topk_blend
 
-                    bank_sq = jnp.sum(bank * bank, axis=-1)
-                    retrieved = _topk_blend(feats.astype(jnp.float32), bank, bank_sq, 1)
+                    bank_f = (bank[0].astype(jnp.float32) * bank[1]) if is_q else bank
+                    bank_sq = jnp.sum(bank_f * bank_f, axis=-1)
+                    retrieved = _topk_blend(feats.astype(jnp.float32), bank_f, bank_sq, 1)
                     feats = (index_rate * retrieved + (1.0 - index_rate) *
                              feats.astype(jnp.float32)).astype(feats.dtype)
             # 2x nearest upsample 50 Hz -> 100 Hz (reference :77)
@@ -332,8 +359,13 @@ class VoiceConverter:
         from ..native import peak_quantize_i16
 
         q16, peak = peak_quantize_i16(audio_pad_b)
-        audio_dev = jnp.asarray(q16)
         inv_scale = max(peak, 1e-9) / 32766.0
+        # the single-chip fast path never uploads the bare waveform — it
+        # travels inside the packed buffer (below); the mesh / hybrid-f0
+        # paths need it as its own device array
+        audio_dev = None
+        if self.mesh is not None or (self.use_f0 and not isinstance(s.f0_method, str)):
+            audio_dev = jnp.asarray(q16)
 
         # --- f0: single-method (the default) runs INSIDE the fused core —
         # one dispatch for the whole song. Hybrid multi-method merging
@@ -390,28 +422,39 @@ class VoiceConverter:
         core = self._core2(use_index, self.use_f0, protect_on, rms_mix, L,
                            f0_spec=f0_spec, concat_out=concat_out)
         bank = self.index_bank if use_index else jnp.zeros((1, 1), jnp.float32)
-        # small args packed into two arrays: two transfers instead of seven
-        ints = jnp.asarray(np.stack([
-            starts, lengths, np.full((N,), s.sid, np.int32)]).astype(np.int32))
-        scalars = jnp.asarray(np.array(
+        ints_np = np.stack([
+            starts, lengths, np.full((N,), s.sid, np.int32)]).astype(np.int32)
+        scalars_np = np.array(
             [s.index_rate, s.protect, s.rms_mix_rate, s.f0_up_key, inv_scale],
-            np.float32))
-        if self.mesh is not None:
+            np.float32)
+        if self.mesh is None:
+            # single chip: ONE upload — the chunk table and scalars ride as
+            # int16 bit-pairs appended to the quantized waveform (each extra
+            # host→device RPC costs ~30 ms of tunnel latency; see core2)
+            packed = np.concatenate(
+                [q16, ints_np.view(np.int16).ravel(), scalars_np.view(np.int16)])
+            out16 = core(
+                self.synth_params, self.hubert_params, pitch_params, bank,
+                jnp.asarray(packed), None, None, pitch_dev, pitchf_dev,
+                self._noise_key, n_chunks=N,
+            )
+        else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            ints = jax.device_put(ints, NamedSharding(self.mesh, P(None, "dp")))
-        out16 = core(
-            self.synth_params,
-            self.hubert_params,
-            pitch_params,
-            bank,
-            audio_dev,
-            ints,
-            scalars,
-            pitch_dev,
-            pitchf_dev,
-            self._noise_key,
-        )
+            ints = jax.device_put(
+                jnp.asarray(ints_np), NamedSharding(self.mesh, P(None, "dp")))
+            out16 = core(
+                self.synth_params,
+                self.hubert_params,
+                pitch_params,
+                bank,
+                audio_dev,
+                ints,
+                jnp.asarray(scalars_np),
+                pitch_dev,
+                pitchf_dev,
+                self._noise_key,
+            )
         ratio = self.tgt_sr // 100
 
         if concat_out:

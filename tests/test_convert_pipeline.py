@@ -101,6 +101,56 @@ def test_convert_with_index(converter, rng):
     converter.index_bank = None
 
 
+def test_convert_with_int8_index(converter, rng):
+    """int8-quantized bank (index_int8=True storage form) through the fused
+    core's CPU fallback: dequantize + exact top-1 blend."""
+    from rvc_tpu.ops.pallas_retrieval import quantize_bank
+
+    x = _test_signal(1.0)
+    bank = rng.standard_normal((64, 32)).astype(np.float32)
+    converter.index_bank = quantize_bank(bank)
+    out, _ = converter.convert(
+        x, settings=ConvertSettings(f0_method="pm", index_rate=0.75, protect=0.2)
+    )
+    assert np.abs(out).max() > 0
+    converter.index_bank = None
+
+
+def test_packed_upload_matches_unpacked(converter):
+    """The single-upload int16 bit-pair packing (core2 n_chunks>0) is
+    bit-identical to passing the chunk table and scalars as separate
+    arrays."""
+    x = _test_signal(1.0)
+    pad = converter.t_pad
+    audio_pad = np.pad(
+        np.asarray(x, np.float32), (pad, pad), mode="reflect")
+    P = len(audio_pad)
+    Pb = int(np.ceil((P + 1) / 16000) * 16000)
+    q16 = np.clip(np.round(audio_pad / np.abs(audio_pad).max() * 32766),
+                  -32766, 32766).astype(np.int16)
+    q16 = np.pad(q16, (0, Pb - P))
+    inv_scale = np.abs(audio_pad).max() / 32766.0
+
+    N, L = 1, Pb
+    ints = np.array([[0], [P], [0]], np.int32)
+    scalars = np.array([0.0, 0.33, 1.0, 0.0, inv_scale], np.float32)
+    core = converter._core2(False, True, True, False, L,
+                            f0_spec=("pm", False, 3, 160, 50.0, 1100.0))
+    import jax
+
+    args = (converter.synth_params, converter.hubert_params,
+            converter.pitch._method_params("pm"),
+            jnp.zeros((1, 1), jnp.float32))
+    key = jax.random.PRNGKey(0)
+    out_sep = core(*args, jnp.asarray(q16), jnp.asarray(ints),
+                   jnp.asarray(scalars), None, None, key)
+    packed = np.concatenate(
+        [q16, ints.view(np.int16).ravel(), scalars.view(np.int16)])
+    out_pack = core(*args, jnp.asarray(packed), None, None, None, None, key,
+                    n_chunks=N)
+    np.testing.assert_array_equal(np.asarray(out_sep), np.asarray(out_pack))
+
+
 def test_convert_no_f0_path():
     """use_f0=False variant exercises the plain HiFiGAN decoder."""
     import jax

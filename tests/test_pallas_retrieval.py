@@ -2,7 +2,13 @@
 import jax.numpy as jnp
 import numpy as np
 
-from rvc_tpu.ops.pallas_retrieval import nearest_rows, blend_into
+from rvc_tpu.ops.pallas_retrieval import (
+    blend_into,
+    blend_into_q,
+    nearest_rows,
+    nearest_rows_q,
+    quantize_bank,
+)
 
 
 def test_nearest_rows_interpret(rng):
@@ -24,6 +30,45 @@ def test_nearest_rows_multi_tile_banks(rng):
     d2 = ((feats[:, None] - bank[None]) ** 2).sum(-1)
     ref = bank[np.argmin(d2, -1)]
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_quantize_bank_roundtrip(rng):
+    bank = rng.standard_normal((40, 16)).astype(np.float32)
+    q, scale = quantize_bank(bank)
+    assert q.dtype == jnp.int8 and scale.shape == (40, 1)
+    deq = np.asarray(q, np.float32) * np.asarray(scale)
+    # symmetric per-row int8: max error = half a quantization step per row
+    step = np.asarray(scale)[:, 0]
+    assert np.all(np.abs(deq - bank) <= 0.5 * step[:, None] + 1e-7)
+
+
+def test_nearest_rows_q_interpret(rng):
+    """int8-bank search returns the dequantized argmin row (vs int8-bank
+    brute force — the quantization is the bank's, not the kernel's)."""
+    T, D, N = 7, 16, 700  # spans >2 bank tiles: running-min must carry
+    feats = rng.standard_normal((T, D)).astype(np.float32)
+    bank = rng.standard_normal((N, D)).astype(np.float32)
+    q, scale = quantize_bank(bank)
+    deq = np.asarray(q, np.float32) * np.asarray(scale)
+    out = np.asarray(nearest_rows_q(jnp.asarray(feats), q, scale, interpret=True))
+    d2 = ((feats[:, None] - deq[None]) ** 2).sum(-1)
+    ref = deq[np.argmin(d2, -1)]
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_blend_into_q_matches_fp32(rng):
+    """End-to-end int8 blend stays within quantization noise of the fp32
+    path on well-separated banks (nearest row identical)."""
+    B, T, D, N = 1, 5, 16, 30
+    bank = (rng.standard_normal((N, D)) * 4.0).astype(np.float32)
+    feats = (bank[rng.integers(0, N, T)] + 0.05 * rng.standard_normal((T, D))
+             ).astype(np.float32)[None]
+    q, scale = quantize_bank(bank)
+    out_q = np.asarray(blend_into_q(jnp.asarray(feats), q, scale, 0.75,
+                                    interpret=True))
+    out_f = np.asarray(blend_into(jnp.asarray(feats), jnp.asarray(bank), 0.75,
+                                  interpret=True))
+    assert np.max(np.abs(out_q - out_f)) < 0.05  # ≤ one int8 step of the bank
 
 
 def test_blend_into_interpret(rng):
