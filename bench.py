@@ -59,7 +59,8 @@ def main():
         out, out_sr = vc.convert(audio, settings=settings)  # warmup/compile
         assert out_sr == 48000, out_sr
         dts = []
-        for _ in range(6):
+        for _ in range(8):  # tunnel contention is bursty; more samples
+            # stabilize the best-of statistic without hiding the median
             t0 = time.perf_counter()
             out, _ = vc.convert(audio, settings=settings)
             dts.append(time.perf_counter() - t0)
