@@ -356,6 +356,72 @@ def htdemucs_kwargs_from_meta(meta: dict) -> dict:
     return out
 
 
+def tasnet_params_from_state_dict(state_dict: Mapping[str, object]):
+    """demucs v2 Conv-TasNet state_dict → (flax params, config kwargs).
+
+    Reference layout (lib/uvr5_pack/demucs/tasnet_v2.py): encoder.conv1d_U,
+    separator.network = [cLN, bottleneck 1x1, R*X TemporalBlocks, mask 1x1],
+    decoder.basis_signals. All 1x1 convs become dense matmuls here
+    (models/tasnet.py), so their trailing kernel dim is squeezed.
+    """
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+    if any("running_mean" in k for k in sd):
+        raise NotImplementedError("BatchNorm ('BN') tasnet checkpoints")
+    enc = sd["encoder.conv1d_U.weight"]  # (N, ac, L)
+    N, ac, L = enc.shape
+    bott = sd["separator.network.1.weight"]  # (B, N, 1)
+    B = bott.shape[0]
+    mask_w = sd["separator.network.3.weight"]  # (C*N, B, 1)
+    C = mask_w.shape[0] // N
+    rs = xs = -1
+    for k in sd:
+        m = re.match(r"separator\.network\.2\.(\d+)\.(\d+)\.", k)
+        if m:
+            rs = max(rs, int(m.group(1)))
+            xs = max(xs, int(m.group(2)))
+    R, X = rs + 1, xs + 1
+    P = sd["separator.network.2.0.0.net.3.net.0.weight"].shape[-1]
+    H = sd["separator.network.2.0.0.net.0.weight"].shape[0]
+
+    def norm(prefix):
+        return {"gamma": sd[prefix + ".gamma"].reshape(-1),
+                "beta": sd[prefix + ".beta"].reshape(-1)}
+
+    params = {
+        "encoder_U": {"weight": enc},
+        "layer_norm": norm("separator.network.0"),
+        "bottleneck": {"weight": bott[..., 0]},
+        "mask_conv": {"weight": mask_w[..., 0]},
+        "basis_signals": {"weight": sd["decoder.basis_signals.weight"]},
+    }
+    for r in range(R):
+        for x in range(X):
+            p = f"separator.network.2.{r}.{x}.net"
+            params[f"block_{r}_{x}"] = {
+                "conv1x1": {"weight": sd[p + ".0.weight"][..., 0]},
+                "prelu1": sd[p + ".1.weight"].reshape(1),
+                "norm1": norm(p + ".2"),
+                "dw_weight": sd[p + ".3.net.0.weight"][:, 0, :].T,  # (P, H)
+                "prelu2": sd[p + ".3.net.1.weight"].reshape(1),
+                "norm2": norm(p + ".3.net.2"),
+                "pointwise": {"weight": sd[p + ".3.net.3.weight"][..., 0]},
+            }
+    cfg = {"N": N, "L": L, "B": B, "H": H, "P": P, "X": X, "R": R,
+           "audio_channels": ac, "n_sources": C}
+    return {"params": params}, cfg
+
+
+def load_tasnet(path: str):
+    """Load a demucs v2 Conv-TasNet ``.th`` → (flax params, cfg)."""
+    import torch
+
+    _install_demucs_stubs()
+    pkg = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(pkg, dict) and "state" in pkg:
+        pkg = pkg["state"]
+    return tasnet_params_from_state_dict(pkg)
+
+
 # ---------------------------------------------------------------------------
 # CREPE (torchcrepe layout: conv1..conv6, conv1_BN.., classifier)
 # ---------------------------------------------------------------------------

@@ -195,7 +195,14 @@ class MDXSeparator:
         self._run = jax.jit(run)
 
     def demix(self, mix: np.ndarray) -> np.ndarray:
-        """mix: (2, T) at 44.1k -> predicted stem (2, T)."""
+        """mix: (2, T) at 44.1k -> predicted stem (2, T).
+
+        All segments' windows ride in ONE jitted dispatch (the reference
+        lib/mdx.py:111 demix_base runs one ORT call per window; per-window
+        host round-trips were the 21x-RT bottleneck of round 1). The window
+        count is bucketed to a multiple of 8 so song-length changes reuse
+        the compiled program.
+        """
         sp = self.spec
         n_sample = mix.shape[1]
         # chunk dict (reference prepare_mix): segments of chunks*sr samples
@@ -209,8 +216,8 @@ class MDXSeparator:
             segments.append((start, end, 0 if skip == 0 else margin))
             if end == n_sample:
                 break
-        outs = []
-        for i, (start, end, head) in enumerate(segments):
+        all_waves, seg_meta = [], []
+        for start, end, head in segments:
             seg = mix[:, start:end]
             n = seg.shape[1]
             pad = sp.gen_size - n % sp.gen_size
@@ -222,8 +229,20 @@ class MDXSeparator:
                 [seg_p[:, k : k + sp.chunk_size]
                  for k in range(0, n + pad, sp.gen_size)]
             )  # (N, 2, chunk_size)
-            tar = np.asarray(self._run(self.params, jnp.asarray(waves, jnp.float32)))
-            tar = tar[:, :, sp.trim : -sp.trim]  # (N, 2, gen_size)
+            all_waves.append(waves)
+            seg_meta.append((len(waves), n, head))
+        batch = np.concatenate(all_waves, axis=0)
+        n_real = len(batch)
+        n_pad = -(-n_real // 8) * 8  # bucket: stable compiled shape
+        if n_pad > n_real:
+            batch = np.concatenate(
+                [batch, np.zeros((n_pad - n_real, 2, sp.chunk_size))], axis=0)
+        dev = self._run(self.params, jnp.asarray(batch, jnp.float32))
+        tar_all = np.asarray(dev[:n_real, :, sp.trim : -sp.trim])  # (N, 2, gen)
+        outs, off = [], 0
+        for i, (cnt, n, head) in enumerate(seg_meta):
+            tar = tar_all[off : off + cnt]
+            off += cnt
             tar = tar.transpose(1, 0, 2).reshape(2, -1)[:, :n]
             tail = None if (i == len(segments) - 1 or margin == 0) else -margin
             outs.append(tar[:, head:tail] / self.compensation)
@@ -260,6 +279,23 @@ class DemucsSeparator:
 
         self.sub: list[DemucsSeparator] = []
         self.weights: list[list[float]] = []
+        if "tasnet" in os.path.basename(model_path).lower():
+            # demucs v2 Conv-TasNet member (reference model_v2.py:52)
+            from ..compat.torch_import import load_tasnet
+            from ..models.tasnet import ConvTasNet
+
+            self.params, cfg = load_tasnet(model_path)
+            n_src = cfg.pop("n_sources")
+            sources = (("drums", "bass", "other", "vocals") if n_src == 4
+                       else tuple(f"source_{i}" for i in range(n_src)))
+            self.model = ConvTasNet(sources=sources, **cfg, dtype=dtype)
+            self.sources = list(sources)
+            self.samplerate = 44100
+            # reference segment_length = 44100*2*4 samples at stereo (8 s)
+            self.segment_samples = int(float(segment or 8.0) * self.samplerate)
+            self.overlap, self.shifts = overlap, shifts
+            self._apply = jax.jit(self.model.apply)
+            return
         if model_path.endswith((".yaml", ".yml")):
             # bag of models (reference demucs/apply.py BagOfModels:29):
             # <sig>.yaml next to <sig>*.th member files
@@ -367,7 +403,7 @@ def route_separator(model_path: str, **kwargs):
         if "mel" in name:
             return "mel_roformer"
         return "bs_roformer"
-    if name.endswith((".th", ".yaml")) or "demucs" in name:
+    if name.endswith((".th", ".yaml")) or "demucs" in name or "tasnet" in name:
         return "demucs"
     if "mdx" in name:
         return "mdx"

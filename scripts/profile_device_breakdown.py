@@ -87,5 +87,54 @@ def main():
         print(f"rmvpe    (66s)  : best {b*1e3:7.1f} ms  median {m*1e3:7.1f} ms")
 
 
+def synth_parts():
+    """Split the synthesizer: enc_p+flow vs the NSF generator decode."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rvc_tpu.pipelines.convert import make_random_converter
+
+    vc = make_random_converter("48k_v2", dtype=jnp.bfloat16, chunking=(1, 5, 16, 20))
+    N, L = 4, 16000 * 18
+    T = (L // 160)  # 100 Hz frames
+    rng = np.random.default_rng(0)
+    feats2 = jnp.asarray(rng.standard_normal((N, T, 768)).astype(np.float32))
+    p_len = jnp.full((N,), T, jnp.int32)
+    pitch = jnp.ones((N, T), jnp.int32) * 100
+    pitchf = jnp.full((N, T), 150.0, jnp.float32)
+    sid = jnp.zeros((N,), jnp.int32)
+    synth = vc.synth
+
+    def upto_z(p, f):
+        def run(m):
+            g = m.emb_g(sid)[:, None, :]
+            m_p, logs_p, x_mask = m.enc_p(f, pitch, p_len)
+            eps = jax.random.normal(jax.random.PRNGKey(0), m_p.shape, m_p.dtype)
+            z_p = (m_p + jnp.exp(logs_p) * eps * 0.66666) * x_mask
+            z = m.flow(z_p, x_mask, g=g, reverse=True)
+            return z * x_mask, g
+        return synth.apply(p, method=run)
+
+    f_enc = jax.jit(upto_z)
+    b, m = timed(f_enc, vc.synth_params, feats2)
+    print(f"enc+flow (4x18s): best {b*1e3:7.1f} ms  median {m*1e3:7.1f} ms")
+    z, g = f_enc(vc.synth_params, feats2)
+
+    def dec_only(p, zz, gg):
+        return synth.apply(p, method=lambda m: m.dec(zz, pitchf, g=gg),
+                           rngs={"noise": jax.random.PRNGKey(0)})
+
+    f_dec = jax.jit(dec_only)
+    b, m = timed(f_dec, vc.synth_params, z, g)
+    print(f"dec NSF  (4x18s): best {b*1e3:7.1f} ms  median {m*1e3:7.1f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "parts":
+        synth_parts()
+    else:
+        main()
