@@ -60,5 +60,41 @@ def bench_htdemucs(dtype=jnp.bfloat16, seconds: float = 7.8, batch: int = 8,
     return rtf
 
 
+def bench_mdx(dtype=jnp.bfloat16, seconds: float = 30.0, repeats: int = 3):
+    """End-to-end MDXSeparator.demix on a 30 s song — the round-1 number
+    for this exact config (9-block Conv-TDF, dim_f 2048) was 1.45 s ≈ 21×
+    RT with one device round-trip per window; demix now batches every
+    window of the song into ONE dispatch."""
+    from rvc_tpu.models.mdx_net import ConvTDFNetTrim
+    from rvc_tpu.pipelines.separate import MDXSeparator
+    from rvc_tpu.utils.fastinit import fast_init
+
+    net = ConvTDFNetTrim(num_blocks=9, dim_f=2048, dtype=dtype)
+    params = fast_init(functools.partial(net.init, jax.random.PRNGKey(0)),
+                       jnp.zeros((1, 256, 2048, 4), jnp.float32))
+    sep = MDXSeparator(params, dim_f=2048, n_fft=5120, net=net, dtype=dtype)
+    rng = np.random.default_rng(2)
+    T = int(seconds * 44100)
+    mix = rng.standard_normal((2, T)).astype(np.float32) * 0.2
+    t0 = time.time()
+    sep.demix(mix)  # warmup / compile
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        mix = rng.standard_normal((2, T)).astype(np.float32) * 0.2
+        t0 = time.time()
+        sep.demix(mix)
+        best = min(best, time.time() - t0)
+    rtf = seconds / best
+    print(json.dumps({
+        "metric": "mdx_convtdf_separation_per_chip",
+        "value": round(rtf, 1), "unit": "x_realtime",
+        "song_s": seconds, "wall_s": round(best, 3),
+        "compile_s": round(compile_s, 1), "dtype": dtype.__name__,
+    }))
+    return rtf
+
+
 if __name__ == "__main__":
-    bench_htdemucs()
+    which = sys.argv[1] if len(sys.argv) > 1 else "htdemucs"
+    {"htdemucs": bench_htdemucs, "mdx": bench_mdx}[which]()
