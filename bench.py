@@ -1,13 +1,18 @@
 """Benchmark: RVC v2 48k voice conversion real-time factor on one chip.
 
-Measures the full pipeline (host chunking + f0 + device HuBERT → retrieval
-→ synthesizer) on a 60 s clip at 16 kHz input / 48 kHz output with
-full-size models (hubert-base, RMVPE, 48k_v2 synthesizer; random weights —
-identical FLOPs/shapes to the pretrained ones).
+Measures the SHIPPING configuration end to end: real-speech input
+(assets/speech_65s.wav — committed formant-synthesized speech with voiced
+harmonics, silence gaps, and wide dynamics), retrieval ON at the reference
+default index_rate=0.75 against a 128k x 768 int8 bank
+(ops/pallas_retrieval), full-size models (hubert-base, RMVPE, 48k_v2
+synthesizer; random weights — identical FLOPs/shapes to pretrained).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is RTF / 50 (the BASELINE.json north star of ≥50× real time
-per TPU v5e chip).
+per TPU v5e chip). `detail` adds: per-length best/median, the
+retrieval-on vs -off delta, and a throughput mode — 8 songs' chunks in
+ONE dp dispatch on this chip (aggregate RTF, fused-dispatch wall, MFU
+lower bound).
 """
 import json
 import os
@@ -16,11 +21,25 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+BANK_ROWS = 131072  # ≥100k rows: production-scale retrieval bank
+
+
+def load_speech(seconds: float, offset_s: float = 0.0) -> np.ndarray:
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(os.path.join(REPO, "assets", "speech_65s.wav"))
+    assert sr == 16000, sr
+    lo = int(offset_s * sr)
+    clip = wav[lo : lo + int(seconds * sr)].astype(np.float32) / 32768.0
+    assert len(clip) == int(seconds * sr), "fixture too short for this slice"
+    return clip
+
 
 def main():
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    cache_dir = os.path.join(REPO, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -29,47 +48,79 @@ def main():
 
     from rvc_tpu.pipelines.convert import ConvertSettings, make_random_converter
 
-    dtype = jnp.bfloat16 if any(d.platform != "cpu" for d in jax.devices()) else jnp.float32
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
     # TPU-tuned chunking: ~16 s chunks batched together (attention memory
     # scales with T² per chunk; batching chunks recovers the throughput).
     # x_pad=1 is the reference's fp32 configuration (config.py:130-135) —
     # on short clips 3 s of reflect pad per side would be 60% overhead.
-    vc = make_random_converter("48k_v2", dtype=dtype, chunking=(1, 5, 16, 20))
+    vc = make_random_converter("48k_v2", dtype=dtype, chunking=(1, 5, 16, 20),
+                               index_rows=BANK_ROWS)
 
     sr = 16000
-    settings = ConvertSettings(f0_method="rmvpe", index_rate=0.0, protect=0.33)
+    # retrieval ON at the reference default (ConvertSettings.index_rate=0.75,
+    # reference vc_infer_pipeline.py:60-75 — the blend is on the hot path)
+    settings = ConvertSettings(f0_method="rmvpe", index_rate=0.75, protect=0.33)
+    settings_noidx = ConvertSettings(f0_method="rmvpe", index_rate=0.0, protect=0.33)
 
-    def make_clip(seconds):
-        t = np.arange(int(seconds * sr)) / sr
-        f0 = 180 + 40 * np.sin(2 * np.pi * 0.4 * t)
-        audio = (0.4 * np.sin(2 * np.pi * np.cumsum(f0) / sr)).astype(np.float32)
-        if seconds >= 60:
-            # some silence so chunking finds natural split points
-            audio[sr * 29 : sr * 30] *= 0.001
-        return audio
+    def timed_rtf(audio, s, seconds, reps=8):
+        out, out_sr = vc.convert(audio, settings=s)  # warmup/compile
+        assert out_sr == 48000, out_sr
+        dts = []
+        for _ in range(reps):  # tunnel contention is bursty; more samples
+            # stabilize the best-of statistic without hiding the median
+            t0 = time.perf_counter()
+            vc.convert(audio, settings=s)
+            dts.append(time.perf_counter() - t0)
+        dts.sort()
+        return seconds / dts[0], seconds / dts[len(dts) // 2]
 
     # BASELINE.json config #1 (one 10 s clip) AND the long-form case; the
     # reported value is the WORSE of the two (no cherry-picking the easy
     # length). best-of-N because the tunnel to the chip has bursty
     # contention; the median is reported alongside.
-    detail = {}
+    detail = {"index_rate": settings.index_rate, "bank": f"{BANK_ROWS}x768 int8",
+              "input": "assets/speech_65s.wav"}
     worst_best = float("inf")
     for seconds in (10.0, 60.0):
-        audio = make_clip(seconds)
-        out, out_sr = vc.convert(audio, settings=settings)  # warmup/compile
-        assert out_sr == 48000, out_sr
-        dts = []
-        for _ in range(8):  # tunnel contention is bursty; more samples
-            # stabilize the best-of statistic without hiding the median
-            t0 = time.perf_counter()
-            out, _ = vc.convert(audio, settings=settings)
-            dts.append(time.perf_counter() - t0)
-        dts.sort()
-        best = seconds / dts[0]
-        median = seconds / dts[len(dts) // 2]
+        audio = load_speech(seconds)
+        best, median = timed_rtf(audio, settings, seconds)
         detail[f"rtf_{int(seconds)}s_best"] = round(best, 2)
         detail[f"rtf_{int(seconds)}s_median"] = round(median, 2)
         worst_best = min(worst_best, best)
+
+    # retrieval-off delta (the round-2 headline mode, kept for comparison)
+    best_off, _ = timed_rtf(load_speech(10.0), settings_noidx, 10.0, reps=4)
+    detail["rtf_10s_best_no_index"] = round(best_off, 2)
+
+    # --- throughput mode: 8 songs' chunks in ONE dp dispatch on this chip.
+    # Latency (above) leaves the chip ~99% idle behind host prep + tunnel
+    # dispatch; batching songs amortizes both — this is what a TPU
+    # deployment actually buys per chip.
+    n_songs, song_s = 8, 10.0
+    songs = [load_speech(song_s, offset_s=3.0 * i) for i in range(n_songs)]
+    stats: dict = {}
+    vc.convert_batch(songs, settings=settings)  # warmup/compile
+    walls = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        vc.convert_batch(songs, settings=settings, stats=stats)
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    agg_rtf = n_songs * song_s / walls[0]
+    detail["throughput_songs"] = n_songs
+    detail["throughput_agg_rtf_best"] = round(agg_rtf, 1)
+    detail["throughput_agg_rtf_median"] = round(
+        n_songs * song_s / walls[len(walls) // 2], 1)
+    if "dispatch_s" in stats:
+        detail["throughput_dispatch_s"] = round(stats["dispatch_s"], 3)
+        detail["device_share_pct"] = round(
+            100.0 * stats["dispatch_s"] / walls[0], 1)
+    if "flops" in stats and on_tpu:
+        # v5e peak 197 TFLOP/s bf16; dispatch wall still includes the
+        # tunnel round trip → this MFU is a lower bound on the true value
+        detail["mfu_pct_lower_bound"] = round(
+            100.0 * stats["flops"] / (stats["dispatch_s"] * 197e12), 2)
 
     print(json.dumps({
         "metric": "rtf_48k_rvc_v2_convert_per_chip",
@@ -81,5 +132,5 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, REPO)
     main()

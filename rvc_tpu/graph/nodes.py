@@ -70,6 +70,23 @@ class LoadAudioNode:
         return (to_audio_dict(audio, out_sr),)
 
 
+def _preview_payload(saved_path: str, *hash_parts) -> list[dict]:
+    """Copy a saved file into the temp preview dir and build the
+    ``{"ui": {"preview": [...]}}`` entry the JS preview widget listens for
+    (reference audio_nodes.py:212-221; web/js/ui_handlers.js previewAudio)."""
+    import shutil
+    import tempfile
+
+    widget_id = get_hash(saved_path, *hash_parts)
+    ext = os.path.splitext(saved_path)[1].lstrip(".") or "wav"
+    tempdir = os.path.join(tempfile.gettempdir(), "rvc_tpu", "preview")
+    os.makedirs(tempdir, exist_ok=True)
+    audio_name = f"{widget_id}.{ext}"
+    shutil.copyfile(saved_path, os.path.join(tempdir, audio_name))
+    return [{"filename": audio_name, "type": "temp", "subfolder": "preview",
+             "widgetId": widget_id}]
+
+
 class SaveAudioNode:
     CATEGORY = "rvc_tpu/audio"
     RETURN_TYPES = ("STRING",)
@@ -83,7 +100,55 @@ class SaveAudioNode:
     def save(self, audio, path: str):
         wav, sr = from_audio_input(audio)
         save_input_audio(path, (wav, sr))
-        return (path,)
+        return {"ui": {"preview": _preview_payload(path)}, "result": (path,)}
+
+
+class PreviewAudioNode:
+    """Save + in-browser preview OUTPUT_NODE (reference audio_nodes.py:173-221
+    PreviewAudio): writes ``<output_dir>/audio/<filename>.<format>``, copies it
+    into the temp preview folder, and returns the ``{"ui": {"preview": ...}}``
+    payload plus (output_path, audio) results."""
+
+    CATEGORY = "rvc_tpu/audio"
+    RETURN_TYPES = ("STRING", "AUDIO")
+    RETURN_NAMES = ("output_path", "audio")
+    FUNCTION = "save_audio"
+    OUTPUT_NODE = True
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "audio": ("AUDIO",),
+            "filename": ("STRING", {"default": "test"}),
+            "save_format": (SUPPORTED_AUDIO, {"default": "flac"}),
+            "save_channels": ([1, 2], {"default": 1}),
+            "overwrite_existing": ("BOOLEAN", {"default": True}),
+            "autoplay": ("BOOLEAN", {"default": True}),
+        }, "optional": {"output_dir": ("STRING", {"default": "output"})}}
+
+    def save_audio(self, audio, filename: str = "test", save_format: str = "flac",
+                   save_channels: int = 1, overwrite_existing: bool = True,
+                   autoplay: bool = True, output_dir: str = "output"):
+        filename = filename.strip()
+        assert filename, "Filename cannot be empty"
+        wav, sr = from_audio_input(audio)
+        audio_dir = os.path.join(output_dir, "audio")
+        os.makedirs(audio_dir, exist_ok=True)
+        output_path = os.path.join(audio_dir, f"{filename}.{save_format}")
+        if os.path.isfile(output_path) and not overwrite_existing:
+            # reference increment_filename_no_overwrite: first free _N suffix
+            n = 1
+            while os.path.isfile(output_path):
+                output_path = os.path.join(
+                    audio_dir, f"{filename}_{n}.{save_format}")
+                n += 1
+        if save_channels == 2 and np.atleast_2d(wav).shape[0] == 1:
+            wav = np.repeat(np.atleast_2d(wav), 2, axis=0)
+        save_input_audio(output_path, (wav, sr))
+        preview = _preview_payload(output_path, save_channels)
+        preview[0]["autoplay"] = autoplay
+        return {"ui": {"preview": preview},
+                "result": (output_path, to_audio_dict(wav, sr))}
 
 
 class MergeAudioNode:
@@ -614,6 +679,7 @@ def _load_separator(kind: str, model_path: str, agg: float):
 NODE_CLASS_MAPPINGS = {
     "RVC_TPU_LoadAudio": LoadAudioNode,
     "RVC_TPU_SaveAudio": SaveAudioNode,
+    "RVC_TPU_PreviewAudio": PreviewAudioNode,
     "RVC_TPU_MergeAudio": MergeAudioNode,
     "RVC_TPU_DownloadAudio": DownloadAudioNode,
     "RVC_TPU_AudioInfo": AudioInfoNode,

@@ -29,6 +29,32 @@ class MergeImageBatchesNode:
         return (np.concatenate([_as_np(images1), _as_np(images2)], axis=0),)
 
 
+class MergeLatentBatchesNode:
+    """Concatenate a list of LATENT dicts along the batch dim (reference
+    utility_nodes.py:88 MergeLatentBatches): merges ``samples`` and any
+    ``noise_mask``, rebuilds ``batch_index``, drops empty fields."""
+
+    CATEGORY = "rvc_tpu/utils"
+    RETURN_TYPES = ("LATENT",)
+    INPUT_IS_LIST = True
+    FUNCTION = "merge"
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"latents": ("LATENT",)}}
+
+    def merge(self, latents):
+        samples = np.concatenate(
+            [_as_np(lat["samples"]) for lat in latents], axis=0)
+        merged = {"samples": samples,
+                  "batch_index": list(range(len(samples)))}
+        masks = [_as_np(lat["noise_mask"]) for lat in latents
+                 if "noise_mask" in lat]
+        if masks:
+            merged["noise_mask"] = np.concatenate(masks, axis=0)
+        return (merged,)
+
+
 class ImageRepeatInterleavedNode:
     """Repeat each image by per-frame weights (reference :120-170)."""
 
@@ -175,6 +201,7 @@ UTILITY_NODE_CLASS_MAPPINGS = {
     "RVC_TPU_Any2List": Any2ListNode,
     "RVC_TPU_List2Any": List2AnyNode,
     "RVC_TPU_MergeImageBatches": MergeImageBatchesNode,
+    "RVC_TPU_MergeLatentBatches": MergeLatentBatchesNode,
     "RVC_TPU_ImageRepeatInterleaved": ImageRepeatInterleavedNode,
     "RVC_TPU_LatentRepeatInterleaved": LatentRepeatInterleavedNode,
     "RVC_TPU_Math": MathNode,

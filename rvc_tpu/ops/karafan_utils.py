@@ -13,7 +13,10 @@ from scipy import signal as _ss
 
 
 def normalize(audio: np.ndarray, threshold_db: float = -1.0) -> np.ndarray:
-    """Peak-normalize to threshold dBFS (reference audio_utils.Normalize)."""
+    """DC-remove + peak-normalize to threshold dBFS (reference
+    audio_utils.Normalize:92-107 — the DC suppression is part of the
+    contract: 'every process is based on RMS dB levels')."""
+    audio = audio - np.mean(audio)
     target = 10 ** (threshold_db / 20)
     peak = np.abs(audio).max()
     if peak == 0:
@@ -21,37 +24,55 @@ def normalize(audio: np.ndarray, threshold_db: float = -1.0) -> np.ndarray:
     return audio * (target / peak)
 
 
-def silent(audio: np.ndarray, sample_rate: int, threshold_db: float = -50.0,
-           min_size_ms: int = 1000, fade_ms: int = 100) -> np.ndarray:
-    """Zero out sustained below-threshold regions with fades (reference
-    audio_utils.Silent semantics: RMS gate over windows, keep fades)."""
-    audio = np.atleast_2d(audio.copy())
-    thresh = 10 ** (threshold_db / 20)
-    win = max(int(sample_rate * 0.05), 1)
-    mono = np.mean(np.abs(audio), axis=0)
-    n_win = len(mono) // win
-    rms = np.sqrt(np.mean(
-        mono[: n_win * win].reshape(n_win, win) ** 2, axis=-1))
-    quiet = rms < thresh
-    min_windows = max(int(min_size_ms / 1000 * sample_rate / win), 1)
-    fade = int(fade_ms / 1000 * sample_rate)
-    i = 0
-    while i < n_win:
-        if quiet[i]:
-            j = i
-            while j < n_win and quiet[j]:
-                j += 1
-            if j - i >= min_windows:
-                s, e = i * win, j * win
-                audio[:, s + fade : max(s + fade, e - fade)] = 0.0
-                if fade > 0:
-                    ramp = np.linspace(1, 0, fade)
-                    audio[:, s : s + fade] *= ramp
-                    if e - fade > s + fade:
-                        audio[:, e - fade : e] *= ramp[::-1]
-            i = j
+def _window_rms_db(chunk: np.ndarray, frame: int) -> float:
+    """max RMS of a chunk in dB, librosa-framing semantics (centered frames
+    of ``frame`` samples at hop ``frame``, zero pad, amin 1e-5) — what the
+    reference Silent measures per window (audio_utils.py:132)."""
+    mono2 = np.atleast_2d(chunk) ** 2
+    padded = np.pad(mono2, [(0, 0), (frame // 2, frame // 2)])
+    n_frames = 1 + (padded.shape[-1] - frame) // frame
+    vals = [np.sqrt(np.mean(padded[:, k * frame : k * frame + frame], axis=-1))
+            for k in range(max(n_frames, 1))]
+    return float(20 * np.log10(np.maximum(1e-5, np.max(vals))))
+
+
+def silent(audio_in: np.ndarray, sample_rate: int,
+           threshold_db: float = -50.0) -> np.ndarray:
+    """Zero sustained below-threshold regions with fades — behavior-exact
+    port of reference audio_utils.Silent:109-167 (window 500 ms, min size
+    1 s, 300 ms linear fades, max-RMS-in-dB gate, including its quirk of
+    anchoring the region at the last loud window)."""
+    sr = sample_rate
+    min_size = int(1.000 * sr)
+    window = int(0.500 * sr)
+    fade_len = int(0.300 * sr)
+    fade_out = np.linspace(1.0, 0.0, fade_len)
+    fade_in = np.linspace(0.0, 1.0, fade_len)
+
+    audio = np.atleast_2d(audio_in).copy()
+    n = audio.shape[-1]
+    start = end = 0
+    for i in range(0, n, window):
+        rms_db = _window_rms_db(audio[:, i : i + window], window)
+        if rms_db < threshold_db:
+            end = i + window
+            if i >= n - window:  # trailing silence
+                if end - start > min_size:
+                    if start > fade_len:
+                        audio[:, start : start + fade_len] *= fade_out
+                        start += fade_len
+                    audio[:, start:n] = 0.0
+                    break
         else:
-            i += 1
+            if end - start > min_size:
+                if start > fade_len:
+                    audio[:, start : start + fade_len] *= fade_out
+                    start += fade_len
+                if end < n - fade_len:
+                    audio[:, end - fade_len : end] *= fade_in
+                    end -= fade_len
+                audio[:, start:end] = 0.0
+            start = i
     return audio
 
 
@@ -60,9 +81,13 @@ def pass_filter(kind: str, cutoff: float, audio: np.ndarray, sample_rate: int,
     """Butterworth (odd order) / Linkwitz-Riley-style (even order, cascaded)
     zero-phase filter (reference audio_utils.Pass_filter)."""
     btype = "highpass" if kind == "highpass" else "lowpass"
+    if cutoff >= sample_rate / 2:
+        cutoff = sample_rate / 2 - 1
     sos = _ss.butter(order // 2 if order > 1 else 1, cutoff, btype=btype,
                      fs=sample_rate, output="sos")
-    return _ss.sosfiltfilt(sos, audio, axis=-1).astype(np.float32)
+    # padlen=0: the reference filters without edge padding
+    # (audio_utils.Pass_filter:228)
+    return _ss.sosfiltfilt(sos, audio, padlen=0, axis=-1).astype(np.float32)
 
 
 def change_sample_rate(audio: np.ndarray, up: int, down: int) -> np.ndarray:

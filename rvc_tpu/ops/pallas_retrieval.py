@@ -124,7 +124,16 @@ def blend_into(feats: jax.Array, bank: jax.Array, index_rate: float,
 
 def quantize_bank(bank) -> tuple[jax.Array, jax.Array]:
     """Per-row symmetric int8 quantization: (N, D) f32 → ((N, D) i8, (N, 1) f32
-    dequant scales)."""
+    dequant scales). Host (numpy) inputs quantize on host first — the int8
+    result is what crosses the host→device link (4× fewer bytes; production
+    banks reach hundreds of MB)."""
+    import numpy as np
+
+    if isinstance(bank, np.ndarray):
+        amax = np.max(np.abs(bank), axis=-1, keepdims=True)
+        scale = np.maximum(amax, 1e-12) / 127.0
+        q = np.clip(np.round(bank / scale), -127, 127).astype(np.int8)
+        return jnp.asarray(q), jnp.asarray(scale.astype(np.float32))
     bank = jnp.asarray(bank, jnp.float32)
     amax = jnp.max(jnp.abs(bank), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0

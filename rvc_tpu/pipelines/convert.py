@@ -494,6 +494,7 @@ class VoiceConverter:
         input_sr: int = SR,
         settings: ConvertSettings | None = None,
         bucket_samples: int = 1600,
+        stats: dict | None = None,
     ) -> list[tuple[np.ndarray, int]]:
         """N songs in ONE fused dispatch — the multi-chip throughput mode.
 
@@ -591,10 +592,29 @@ class VoiceConverter:
 
             ints = jax.device_put(ints, NamedSharding(self.mesh,
                                                       Pspec(None, "dp")))
-        out16 = core(self.synth_params, self.hubert_params, pitch_params,
-                     bank, audio_dev, ints, scalars, None, None,
-                     self._noise_key)
-        out16 = np.asarray(out16)[:N_real]
+        args = (self.synth_params, self.hubert_params, pitch_params,
+                bank, audio_dev, ints, scalars, None, None, self._noise_key)
+        if stats is not None:
+            # measurement hooks for the throughput bench: steady-state wall
+            # of the ONE fused dispatch (device compute + tunnel round-trip
+            # + int16 grid download) and the compiled-graph FLOP count
+            import time as _time
+
+            t0 = _time.perf_counter()
+            out16 = np.asarray(core(*args))[:N_real]
+            stats["dispatch_s"] = _time.perf_counter() - t0
+            stats["n_chunks"] = int(N_real)
+            stats["chunk_samples"] = int(L)
+            if "flops" not in stats:
+                try:
+                    cost = core.lower(*args).compile().cost_analysis()
+                    if isinstance(cost, (list, tuple)):
+                        cost = cost[0]
+                    stats["flops"] = float(cost["flops"])
+                except Exception:
+                    pass
+        else:
+            out16 = np.asarray(core(*args))[:N_real]
 
         ratio = self.tgt_sr // 100
         results: list[tuple[np.ndarray, int]] = []
@@ -626,6 +646,8 @@ def make_random_converter(
     chunking: tuple[int, int, int, int] | None = None,
     config: RVCConfig | None = None,
     feature_dim: int | None = None,
+    index_rows: int = 0,
+    index_int8: bool = True,
 ) -> VoiceConverter:
     """Build a converter with randomly initialized weights (for tests/bench
     until real checkpoints are mounted). ``chunking`` overrides
@@ -633,7 +655,9 @@ def make_random_converter(
     together beat one giant chunk (attention memory scales with T²).
     ``config`` replaces the preset wholesale (tiny configs for dryruns);
     ``feature_dim`` overrides the version-derived HuBERT feature width so
-    a reduced HuBERT can drive a reduced synthesizer."""
+    a reduced HuBERT can drive a reduced synthesizer. ``index_rows`` > 0
+    attaches a random retrieval bank of that many rows (int8-quantized by
+    default) so retrieval runs at realistic bank sizes."""
     import dataclasses
 
     from ..config import preset as get_preset
@@ -694,6 +718,15 @@ def make_random_converter(
             seed=seed + 2,
         )
         extractor = PitchExtractor(rmvpe_params=rmvpe_params, dtype=dtype)
+    index_bank = None
+    if index_rows > 0:
+        # HuBERT-feature-shaped rows (unit-scale gaussian matches the
+        # layer-norm'd feature statistics closely enough for FLOP/bandwidth
+        # realism)
+        bank_rng = np.random.default_rng(seed + 7)
+        index_bank = bank_rng.standard_normal(
+            (index_rows, synth.feature_dim)).astype(np.float32)
     return VoiceConverter(
-        synth_params, kwargs, hubert_params, hcfg, pitch=extractor, config=cfg, dtype=dtype
+        synth_params, kwargs, hubert_params, hcfg, pitch=extractor, config=cfg,
+        dtype=dtype, index_bank=index_bank, index_int8=index_int8,
     )

@@ -225,7 +225,12 @@ class KarafanPipeline:
             outs.append(out)
         return outs[0] if len(outs) == 1 else KU.make_ensemble("Max", outs)
 
-    def separate(self, audio: np.ndarray, sr: int) -> dict:
+    def separate(self, audio: np.ndarray, sr: int,
+                 stages: dict | None = None) -> dict:
+        """``stages``: optional dict filled with the float intermediates
+        (normalized / ensembles / finals) — the counterpart of the
+        reference's per-stage Save_Audio files, used by the recipe
+        equivalence tests."""
         cfg = self.config
         mix = _to_stereo_44k(audio, sr)
         normalized = KU.normalize(mix, cfg.normalize_db) if cfg.normalize_db < 0 else mix
@@ -269,6 +274,11 @@ class KarafanPipeline:
         if cfg.silent_db < 0:
             vocal_final = KU.silent(vocal_final, 44100, cfg.silent_db)
 
+        if stages is not None:
+            stages.update(normalized=normalized, music_extract=music_ens,
+                          vocal_extract=vocal_ens, music_bleed=bleed,
+                          vocal_bleed=vbleed, vocal_final=vocal_final,
+                          music_final=music_final)
         return {
             "sr": 44100,
             "vocals": remix_audio((vocal_final, 44100), to_int16=True),

@@ -146,6 +146,92 @@ def acf_pitch(
 
 
 # ---------------------------------------------------------------------------
+# StoneMask refinement (pyworld's second stage, reference
+# pitch_extraction.py:168-188 runs pw.stonemask after dio/harvest)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _spec_bases(frame_length: int, n_fft: int, n_bins: int):
+    """Truncated high-res DFT bases (Hann window folded in): zero-padding a
+    windowed frame to n_fft is the same matmul over the raw frame samples
+    with bases sampled at the fine bin grid."""
+    n = np.arange(frame_length)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * n / frame_length)
+    k = np.arange(n_bins)[None, :]
+    ang = 2 * np.pi * n[:, None] * k / n_fft
+    return ((np.cos(ang) * win[:, None]).astype(np.float32),
+            (np.sin(ang) * win[:, None]).astype(np.float32))
+
+
+def stonemask_refine(
+    audio: jax.Array,
+    f0: jax.Array,
+    sr: int = HUBERT_SR,
+    hop: int = HUBERT_WINDOW,
+    frame_length: int = 1024,
+    n_fft: int = 4096,
+    search: float = 0.2,
+    K: int = 64,
+) -> jax.Array:
+    """Refine candidate f0 to the exact fundamental spectral peak.
+
+    pyworld's StoneMask re-estimates each frame's f0 from the signal
+    spectrum around the candidate; here: a high-resolution (zero-padded)
+    power spectrum per frame (DFT-as-matmul, MXU form), gather the K bins
+    around each frame's candidate bin, argmax within ±``search`` of the
+    candidate, parabolic interpolation → refined Hz. Unvoiced frames
+    (f0 == 0) pass through; frames whose window holds < 2 periods keep the
+    candidate.
+
+    audio: (B, T); f0: (B, F) Hz aligned to the same hop grid.
+    """
+    B, T = audio.shape
+    pad = frame_length // 2
+    x = jnp.pad(audio, ((0, 0), (pad, pad)))
+    frames = frame_signal(x, frame_length, hop)[:, : f0.shape[1]]
+    f0 = f0[:, : frames.shape[1]]
+    n_bins = min(n_fft // 2 + 1,
+                 int(np.ceil(1100.0 * 1.3 * n_fft / sr)) + K + 2)
+    cosb, sinb = _spec_bases(frame_length, n_fft, n_bins)
+    re = jnp.matmul(frames, jnp.asarray(cosb), precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, jnp.asarray(sinb), precision=jax.lax.Precision.HIGHEST)
+    power = re * re + im * im  # (B, F, n_bins)
+
+    bin_hz = sr / n_fft
+    b0 = f0 / bin_hz  # candidate bin (fractional)
+    center = jnp.clip(jnp.rint(b0).astype(jnp.int32), 0, n_bins - 1)
+    offs = jnp.arange(-(K // 2), K // 2 + 1)
+    idx = jnp.clip(center[..., None] + offs, 0, n_bins - 1)  # (B, F, K+1)
+    neigh = jnp.take_along_axis(power, idx, axis=-1)
+    # restrict to ±search of the candidate
+    freq = idx.astype(jnp.float32) * bin_hz
+    ok = (freq >= f0[..., None] * (1.0 - search)) & \
+         (freq <= f0[..., None] * (1.0 + search)) & (f0[..., None] > 0)
+    neigh = jnp.where(ok, neigh, -1.0)
+    j = jnp.argmax(neigh, axis=-1)
+    peak_bin = jnp.take_along_axis(idx, j[..., None], -1)[..., 0]
+    # parabolic interpolation on log-power (pure tones interpolate better
+    # in dB; guard zeros)
+    logp = jnp.log(jnp.maximum(power, 1e-12))
+    pm1 = jnp.clip(peak_bin - 1, 0, n_bins - 1)
+    pp1 = jnp.clip(peak_bin + 1, 0, n_bins - 1)
+    ym1 = jnp.take_along_axis(logp, pm1[..., None], -1)[..., 0]
+    y0 = jnp.take_along_axis(logp, peak_bin[..., None], -1)[..., 0]
+    yp1 = jnp.take_along_axis(logp, pp1[..., None], -1)[..., 0]
+    denom = ym1 - 2 * y0 + yp1
+    delta = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (ym1 - yp1) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    refined = (peak_bin.astype(jnp.float32) + delta) * bin_hz
+    # keep the candidate when the window can't resolve it (<2 periods) or
+    # nothing was inside the search band
+    resolvable = f0 * frame_length / sr >= 2.0
+    any_ok = jnp.any(ok, axis=-1)
+    out = jnp.where(resolvable & any_ok, refined, f0)
+    return jnp.where(f0 > 0, out, 0.0)
+
+
+# ---------------------------------------------------------------------------
 
 
 def _median_filter(f0: jax.Array, radius: int) -> jax.Array:
@@ -202,12 +288,16 @@ class PitchExtractor:
         return acf_pitch(audio, f0_min=f0_min, f0_max=f0_max, voicing_threshold=0.45)
 
     def _dio(self, audio, f0_min, f0_max, **kw):
-        return acf_pitch(audio, f0_min=f0_min, f0_max=f0_max, frame_length=512,
-                         voicing_threshold=0.35)
+        # pyworld pipeline shape: coarse candidates → stonemask refinement
+        # (reference pitch_extraction.py:168-177 always refines dio)
+        f0 = acf_pitch(audio, f0_min=f0_min, f0_max=f0_max, frame_length=512,
+                       voicing_threshold=0.35)
+        return stonemask_refine(audio, f0)
 
     def _harvest(self, audio, f0_min, f0_max, filter_radius=3, **kw):
         f0 = acf_pitch(audio, f0_min=f0_min, f0_max=f0_max, frame_length=2048,
                        voicing_threshold=0.3)
+        f0 = stonemask_refine(audio, f0)
         return _median_filter(f0, filter_radius if filter_radius > 2 else 0)
 
     def _rmvpe(self, audio, f0_min, f0_max, thred=0.03, **kw):

@@ -11,7 +11,9 @@ Measurement notes for the axon tunnel:
   * identical repeated requests can be served from a cache — every
     timed call uses fresh random input;
   * chunks are batched into one dispatch (batch 8 of 7.8 s segments),
-    the same shape DemucsSeparator's chunk driver produces.
+    the same shape DemucsSeparator's chunk driver produces;
+  * tunnel contention swings wall time ±25%, so both best AND median
+    over the repeats are reported (mirroring bench.py's methodology).
 """
 import functools
 import json
@@ -28,8 +30,19 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 
+def _timing_fields(times: list[float], total_audio_s: float) -> dict:
+    """best/median RTF + raw walls from per-repeat timings."""
+    ts = sorted(times)
+    return {
+        "value": round(total_audio_s / ts[0], 1),
+        "rtf_median": round(total_audio_s / ts[len(ts) // 2], 1),
+        "wall_best_s": round(ts[0], 4),
+        "wall_median_s": round(ts[len(ts) // 2], 4),
+    }
+
+
 def bench_htdemucs(dtype=jnp.bfloat16, seconds: float = 7.8, batch: int = 8,
-                   repeats: int = 4):
+                   repeats: int = 6):
     from rvc_tpu.models.htdemucs import HTDemucs
     from rvc_tpu.utils.fastinit import fast_init
 
@@ -42,25 +55,26 @@ def bench_htdemucs(dtype=jnp.bfloat16, seconds: float = 7.8, batch: int = 8,
     fn = jax.jit(model.apply)
     t0 = time.time()
     np.asarray(fn(params, jnp.zeros((batch, T, 2), jnp.float32))[0, 0, :4, 0])
-    compile_s = time.time() - t0
-    best = float("inf")
+    warmup_s = time.time() - t0  # includes host prep + upload + readback,
+    # not pure XLA compile time — labeled accordingly
+    times = []
     for _ in range(repeats):
         x = jnp.asarray(rng.standard_normal((batch, T, 2)), jnp.float32)
         jax.block_until_ready(x)
         t0 = time.time()
         np.asarray(fn(params, x)[0, 0, :4, 0])
-        best = min(best, time.time() - t0)
-    rtf = batch * seconds / best
+        times.append(time.time() - t0)
+    fields = _timing_fields(times, batch * seconds)
     print(json.dumps({
         "metric": "htdemucs_v4_separation_per_chip",
-        "value": round(rtf, 1), "unit": "x_realtime",
-        "batch": batch, "segment_s": seconds, "batch_forward_s": round(best, 4),
-        "compile_s": round(compile_s, 1), "dtype": dtype.__name__,
+        "unit": "x_realtime", **fields,
+        "batch": batch, "segment_s": seconds,
+        "warmup_s": round(warmup_s, 1), "dtype": dtype.__name__,
     }))
-    return rtf
+    return fields["value"]
 
 
-def bench_mdx(dtype=jnp.bfloat16, seconds: float = 30.0, repeats: int = 3):
+def bench_mdx(dtype=jnp.bfloat16, seconds: float = 30.0, repeats: int = 6):
     """End-to-end MDXSeparator.demix on a 30 s song — the round-1 number
     for this exact config (9-block Conv-TDF, dim_f 2048) was 1.45 s ≈ 21×
     RT with one device round-trip per window; demix now batches every
@@ -78,23 +92,28 @@ def bench_mdx(dtype=jnp.bfloat16, seconds: float = 30.0, repeats: int = 3):
     mix = rng.standard_normal((2, T)).astype(np.float32) * 0.2
     t0 = time.time()
     sep.demix(mix)  # warmup / compile
-    compile_s = time.time() - t0
-    best = float("inf")
+    warmup_s = time.time() - t0
+    times = []
     for _ in range(repeats):
         mix = rng.standard_normal((2, T)).astype(np.float32) * 0.2
         t0 = time.time()
         sep.demix(mix)
-        best = min(best, time.time() - t0)
-    rtf = seconds / best
+        times.append(time.time() - t0)
+    fields = _timing_fields(times, seconds)
     print(json.dumps({
         "metric": "mdx_convtdf_separation_per_chip",
-        "value": round(rtf, 1), "unit": "x_realtime",
-        "song_s": seconds, "wall_s": round(best, 3),
-        "compile_s": round(compile_s, 1), "dtype": dtype.__name__,
+        "unit": "x_realtime", **fields,
+        "song_s": seconds,
+        "warmup_s": round(warmup_s, 1), "dtype": dtype.__name__,
     }))
-    return rtf
+    return fields["value"]
 
+
+BENCHES = {"htdemucs": bench_htdemucs, "mdx": bench_mdx}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "htdemucs"
-    {"htdemucs": bench_htdemucs, "mdx": bench_mdx}[which]()
+    if which not in BENCHES:
+        sys.exit(f"unknown benchmark {which!r}; choose one of: "
+                 + "|".join(BENCHES))
+    BENCHES[which]()

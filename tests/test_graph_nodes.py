@@ -5,6 +5,8 @@ Reference surface: custom_nodes/{audio_nodes,rvc_nodes,uvr,utility_nodes}.py
 INPUT_TYPES/RETURN_TYPES/FUNCTION contract, and the audio nodes must
 round-trip waveforms through the AUDIO dict transport.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -34,12 +36,52 @@ def test_save_load_info_roundtrip(tmp_path):
 
     wav = _sine()
     p = str(tmp_path / "a.wav")
-    SaveAudioNode().save(to_audio_dict(wav, 16000), p)
+    saved = SaveAudioNode().save(to_audio_dict(wav, 16000), p)
+    assert saved["result"] == (p,)
+    assert saved["ui"]["preview"][0]["type"] == "temp"  # JS widget payload
     (audio,) = LoadAudioNode().load(p, sr=16000)
     out, seconds, sr = AudioInfoNode().get_info(audio)
     assert sr == 16000 and abs(seconds - 0.5) < 0.01
     got = np.asarray(audio["waveform"]).reshape(-1)
     assert np.max(np.abs(got[: len(wav)] - wav)) < 1e-3
+
+
+def test_preview_audio_node(tmp_path):
+    from rvc_tpu.graph.nodes import PreviewAudioNode, to_audio_dict
+
+    wav = _sine()
+    node = PreviewAudioNode()
+    out = node.save_audio(to_audio_dict(wav, 16000), filename="clip",
+                          save_format="wav", output_dir=str(tmp_path))
+    path, audio = out["result"]
+    assert os.path.isfile(path) and path.endswith("clip.wav")
+    preview = out["ui"]["preview"][0]
+    assert preview["subfolder"] == "preview" and preview["autoplay"] is True
+    # no-overwrite mode picks the next free _N suffix (reference
+    # increment_filename_no_overwrite)
+    out2 = node.save_audio(to_audio_dict(wav, 16000), filename="clip",
+                           save_format="wav", overwrite_existing=False,
+                           output_dir=str(tmp_path))
+    assert out2["result"][0].endswith("clip_1.wav")
+    # stereo expansion
+    out3 = node.save_audio(to_audio_dict(wav, 16000), filename="st",
+                           save_format="wav", save_channels=2,
+                           output_dir=str(tmp_path))
+    assert np.atleast_2d(np.asarray(out3["result"][1]["waveform"])[0]).shape[0] == 2
+
+
+def test_merge_latent_batches():
+    from rvc_tpu.graph.utility_nodes import MergeLatentBatchesNode
+
+    lat1 = {"samples": np.zeros((2, 4, 8, 8)), "noise_mask": np.ones((2, 1, 8, 8))}
+    lat2 = {"samples": np.ones((3, 4, 8, 8))}
+    (merged,) = MergeLatentBatchesNode().merge([lat1, lat2])
+    assert merged["samples"].shape == (5, 4, 8, 8)
+    assert merged["batch_index"] == list(range(5))
+    assert merged["noise_mask"].shape == (2, 1, 8, 8)
+    # no masks at all -> field absent
+    (m2,) = MergeLatentBatchesNode().merge([lat2])
+    assert "noise_mask" not in m2
 
 
 def test_download_audio_cache_first(tmp_path):

@@ -33,13 +33,19 @@ def test_pass_filter():
 
 
 def test_silent_gates_quiet_region():
+    """Reference-geometry Silent (audio_utils.Silent:109-167): the gated
+    region anchors at the LAST LOUD 0.5 s window before the silence, so for
+    loud [0,1s) / quiet [1,2s) / loud [2,3s): fade-out [0.5,0.8]s, zeros
+    [0.8,1.7]s, fade-in [1.7,2.0]s."""
     sr = 44100
     x = 0.5 * np.ones((1, sr * 3), np.float32)
     x[:, sr : 2 * sr] = 1e-5
     y = KU.silent(x, sr, threshold_db=-50)
-    mid = y[:, sr + sr // 4 : 2 * sr - sr // 4]
-    assert np.abs(mid).max() < 1e-6
-    assert np.abs(y[:, : sr // 2]).max() > 0.4
+    zeroed = y[:, int(0.85 * sr) : int(1.65 * sr)]
+    assert np.abs(zeroed).max() == 0.0
+    assert np.abs(y[:, : sr // 2]).max() > 0.4  # loud head untouched
+    # fade-out ramps the end of the loud region down into the gate
+    assert 0.0 < y[0, int(0.65 * sr)] < 0.5
 
 
 def test_sdr():

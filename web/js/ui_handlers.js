@@ -105,7 +105,8 @@ app.registerExtension({
                     `/view?filename=${encodeURIComponent(preview.filename)}` +
                     `&type=${preview.type || "output"}&subfolder=${preview.subfolder || ""}`
                 );
-                addPreviewWidget(this, url);
+                const widget = addPreviewWidget(this, url);
+                if (preview.autoplay) widget.audioEl.play?.();
             }
         };
         const target = UPLOAD_TARGETS[nodeData.name];
