@@ -93,6 +93,29 @@ def main():
     best_off, _ = timed_rtf(load_speech(10.0), settings_noidx, 10.0, reps=4)
     detail["rtf_10s_best_no_index"] = round(best_off, 2)
 
+    # --- link health: the chip is remote (tunnel); per-instance transfer
+    # bandwidth and RPC latency swing measured RTF by 2x+ between VMs (the
+    # morning/evening 54.9x vs 30.9x same-code spread). Record them so the
+    # RTF is interpretable. Measured AFTER the warmups so the transfer
+    # executables are compiled (first-fetch compile on a cold instance can
+    # take minutes and is not link speed).
+    probe = np.zeros(500_000, np.int16)  # 1 MB
+    ups, downs = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(probe)
+        dev.block_until_ready()
+        ups.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        downs.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.asarray(jax.device_put(np.zeros(8, np.int16)))
+    detail["link_rtt_ms"] = round((time.perf_counter() - t0) / 5 * 1000, 1)
+    detail["link_up_MBps"] = round(1.0 / min(ups), 1)
+    detail["link_down_MBps"] = round(1.0 / min(downs), 1)
+
     # --- throughput mode: 8 songs' chunks in ONE dp dispatch on this chip.
     # Latency (above) leaves the chip ~99% idle behind host prep + tunnel
     # dispatch; batching songs amortizes both — this is what a TPU

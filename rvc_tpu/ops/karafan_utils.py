@@ -14,14 +14,17 @@ from scipy import signal as _ss
 
 def normalize(audio: np.ndarray, threshold_db: float = -1.0) -> np.ndarray:
     """DC-remove + peak-normalize to threshold dBFS (reference
-    audio_utils.Normalize:92-107 — the DC suppression is part of the
-    contract: 'every process is based on RMS dB levels')."""
-    audio = audio - np.mean(audio)
-    target = 10 ** (threshold_db / 20)
-    peak = np.abs(audio).max()
-    if peak == 0:
-        return audio
-    return audio * (target / peak)
+    audio_utils.Normalize:89-107 — the DC suppression is part of the
+    contract: 'every process is based on RMS dB levels'). The in-place
+    op order (subtract, divide, multiply) mirrors the reference so float32
+    results are bit-identical."""
+    audio = np.asarray(audio).copy()
+    audio -= np.mean(audio)
+    peak = np.max(np.abs(audio))
+    if peak > 0.0:
+        audio /= peak
+        audio *= 10 ** (threshold_db / 20)
+    return audio
 
 
 def _window_rms_db(chunk: np.ndarray, frame: int) -> float:
@@ -96,20 +99,25 @@ def change_sample_rate(audio: np.ndarray, up: int, down: int) -> np.ndarray:
     return _ss.resample_poly(audio, up, down, axis=-1).astype(np.float32)
 
 
+def resample_l(y: np.ndarray, orig_sr: float, target_sr: float,
+               axis: int = -1) -> np.ndarray:
+    """Rate conversion with librosa.resample's call shape (kaiser-windowed
+    polyphase via scipy stands in for kaiser_best)."""
+    up, down = int(round(target_sr)), int(round(orig_sr))
+    g = math.gcd(up, down)
+    return _ss.resample_poly(y, up // g, down // g, axis=axis).astype(np.float32)
+
+
 def srs_shift(audio: np.ndarray, way: str, current_cutoff: float,
               target_cutoff: float) -> np.ndarray:
     """Cutoff-expressed SRS resample (reference audio_utils.Change_sample_rate
     :237-244): resample from 2·current_cutoff to 2·target_cutoff WITHOUT
     relabeling the sample rate, which shifts the spectral content so a
     band-limited model sees the band it was trained on. way='DOWN' swaps the
-    cutoffs (content moves down / signal gets longer); 'UP' restores it.
-    Kaiser-windowed polyphase (scipy) stands in for librosa kaiser_best."""
+    cutoffs (content moves down / signal gets longer); 'UP' restores it."""
     if way == "DOWN":
         current_cutoff, target_cutoff = target_cutoff, current_cutoff
-    up = int(round(target_cutoff * 2))
-    down = int(round(current_cutoff * 2))
-    g = math.gcd(up, down)
-    return _ss.resample_poly(audio, up // g, down // g, axis=-1).astype(np.float32)
+    return resample_l(audio, current_cutoff * 2, target_cutoff * 2)
 
 
 def linkwitz_riley(kind: str, cutoff: float, audio: np.ndarray,
@@ -121,15 +129,73 @@ def linkwitz_riley(kind: str, cutoff: float, audio: np.ndarray,
     return _ss.sosfiltfilt(sos, audio, padlen=0, axis=-1).astype(np.float32)
 
 
+def stft_l(y: np.ndarray, n_fft: int = 6144, hop: int = 1024) -> np.ndarray:
+    """Host STFT with librosa.stft semantics (center=True, zero pad,
+    periodic hann, win_length=n_fft): (..., T) -> (..., 1+n_fft//2, frames)
+    complex64. Used by the spectral ensemble (reference
+    audio_utils.Make_Ensemble:339 'wave_to_spectrogram_no_mp')."""
+    y = np.asarray(y, np.float32)
+    pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    ypad = np.pad(y, pad)
+    frames = np.lib.stride_tricks.sliding_window_view(
+        ypad, n_fft, axis=-1)[..., ::hop, :]
+    win = _ss.get_window("hann", n_fft, fftbins=True).astype(np.float32)
+    spec = np.fft.rfft(frames * win, axis=-1).astype(np.complex64)
+    return np.swapaxes(spec, -2, -1)
+
+
+def istft_l(spec: np.ndarray, n_fft: int = 6144, hop: int = 1024) -> np.ndarray:
+    """Inverse of :func:`stft_l` (librosa.istft semantics, center=True,
+    length=None): returns hop*(frames-1) samples, windowed overlap-add with
+    squared-window normalization."""
+    frames = np.fft.irfft(np.swapaxes(spec, -2, -1), n=n_fft,
+                          axis=-1).astype(np.float32)
+    win = _ss.get_window("hann", n_fft, fftbins=True).astype(np.float32)
+    frames *= win
+    n_frames = frames.shape[-2]
+    total = n_fft + hop * (n_frames - 1)
+    out = np.zeros(frames.shape[:-2] + (total,), np.float32)
+    wsum = np.zeros(total, np.float32)
+    win_sq = win * win
+    for k in range(n_frames):
+        out[..., k * hop : k * hop + n_fft] += frames[..., k, :]
+        wsum[k * hop : k * hop + n_fft] += win_sq
+    out /= np.maximum(wsum, np.finfo(np.float32).tiny)
+    return out[..., n_fft // 2 : total - n_fft // 2]
+
+
 def make_ensemble(algorithm: str, audios: list[np.ndarray]) -> np.ndarray:
-    """Combine stems (reference audio_utils.Make_Ensemble): 'Max' keeps the
-    per-sample extreme (by magnitude), 'Average' means."""
-    n = min(a.shape[-1] for a in audios)
-    stack = np.stack([a[..., :n] for a in audios])
-    if algorithm.lower() == "max":
-        idx = np.argmax(np.abs(stack), axis=0)
-        return np.take_along_axis(stack, idx[None], axis=0)[0]
-    return stack.mean(axis=0)
+    """Combine stems (reference audio_utils.Make_Ensemble:305-354).
+
+    'Max'/'Min' select per TF-bin by magnitude in the STFT domain
+    (n_fft=6144, hop=1024) with an iterative fold where later inputs win
+    ties (reference ensembling:357-371), then iSTFT and zero-pad to the
+    longest input. 'Average' zero-pads everything to the longest input and
+    means in the time domain (:311-331)."""
+    if len(audios) == 1:
+        return audios[0]
+    audios = [np.atleast_2d(a) for a in audios]
+    n_max = max(a.shape[-1] for a in audios)
+
+    def pad_to(a: np.ndarray, size: int) -> np.ndarray:
+        if a.shape[-1] >= size:
+            return a
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, size - a.shape[-1])]
+        return np.pad(a, pad)
+
+    if algorithm.lower() == "average":
+        return sum(pad_to(a, n_max) for a in audios) / len(audios)
+
+    spec = stft_l(audios[0])
+    for a in audios[1:]:
+        s_i = stft_l(a)
+        ln = min(spec.shape[-1], s_i.shape[-1])
+        spec, s_i = spec[..., :ln], s_i[..., :ln]
+        if algorithm.lower() == "min":
+            spec = np.where(np.abs(s_i) <= np.abs(spec), s_i, spec)
+        else:
+            spec = np.where(np.abs(s_i) >= np.abs(spec), s_i, spec)
+    return pad_to(istft_l(spec), n_max)
 
 
 def sdr(references: np.ndarray, estimates: np.ndarray) -> np.ndarray:

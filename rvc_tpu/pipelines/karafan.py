@@ -160,6 +160,17 @@ def bigshifts_demix(mix: np.ndarray, extractor: Extractor, bigshifts: int,
     return np.mean([r[..., :n] for r in results], axis=0)
 
 
+#: reference speed presets (inference.py:160-189): per-stage
+#: (BigShifts, BigShifts_SRS) for the vocal / music / bleed extractions.
+SPEED_PRESETS = {
+    "Fastest": {"vocal": (1, 0), "music": (1, 0), "bleed": (1, 0)},
+    "Fast": {"vocal": (1, 1), "music": (1, 0), "bleed": (1, 1)},
+    "Medium": {"vocal": (1, 3), "music": (2, 0), "bleed": (2, 0)},
+    "Slow": {"vocal": (2, 3), "music": (3, 0), "bleed": (2, 1)},
+    "Slowest": {"vocal": (2, 4), "music": (4, 0), "bleed": (2, 2)},
+}
+
+
 @dataclass
 class KarafanConfig:
     normalize_db: float = -1.0
@@ -171,6 +182,27 @@ class KarafanConfig:
     bigshifts_srs: int = 0  # >0 enables the SRS re-inference passes
     denoise: bool = True
     cache_dir: str | None = None  # GOD-MODE stem cache (reference :304-310)
+    # per-stage (bigshifts, bigshifts_srs) overrides; None falls back to the
+    # global pair above. The reference keys these off its speed option
+    # (Quality_Vocal/Music/Bleed, inference.py:160-189) — use speed_preset().
+    quality_vocal: tuple[int, int] | None = None
+    quality_music: tuple[int, int] | None = None
+    quality_bleed: tuple[int, int] | None = None
+
+    def quality_for(self, kind: str) -> tuple[int, int]:
+        """(bigshifts, bigshifts_srs) for a stage kind
+        ('vocal'|'music'|'bleed')."""
+        q = getattr(self, f"quality_{kind}", None)
+        return tuple(q) if q is not None else (self.bigshifts, self.bigshifts_srs)
+
+
+def speed_preset(name: str, **overrides) -> KarafanConfig:
+    """Config from a reference speed option (Fastest..Slowest)."""
+    if name not in SPEED_PRESETS:
+        raise ValueError(f"unknown speed {name!r}, choose {list(SPEED_PRESETS)}")
+    q = SPEED_PRESETS[name]
+    return KarafanConfig(quality_vocal=q["vocal"], quality_music=q["music"],
+                         quality_bleed=q["bleed"], **overrides)
 
 
 @dataclass
@@ -187,7 +219,7 @@ class KarafanPipeline:
 
     # -- GOD-MODE stem cache --------------------------------------------------
     def _cache_path(self, song_key: str, stage: int, model: KarafanModel,
-                    mix: np.ndarray) -> str | None:
+                    mix: np.ndarray, quality: tuple[int, int]) -> str | None:
         """One file per (song, stage input, model, extraction settings) —
         hash-keyed rather than name-keyed (the reference keys on the song
         name alone, which silently serves stale stems when settings change)."""
@@ -198,7 +230,7 @@ class KarafanPipeline:
         h.update(song_key.encode())
         h.update(np.ascontiguousarray(mix[..., :: max(1, mix.shape[-1] // 4096)]))
         h.update(f"{stage}|{model.name}|{model.cut_off}|{model.compensation}|"
-                 f"{cfg.bigshifts}|{cfg.bigshifts_srs}|{cfg.denoise}".encode())
+                 f"{quality[0]}|{quality[1]}|{cfg.denoise}".encode())
         return os.path.join(cfg.cache_dir, f"{h.hexdigest()}.npy")
 
     def _extract(self, kind: str, stage: int,
@@ -209,16 +241,18 @@ class KarafanPipeline:
         if not models:
             return None
         cfg = self.config
+        bigshifts, bigshifts_srs = cfg.quality_for(kind)
         outs = []
         for m in models:
             m = _as_model(m)
-            path = self._cache_path(song_key, stage, m, mix)
+            path = self._cache_path(song_key, stage, m, mix,
+                                    (bigshifts, bigshifts_srs))
             if path is not None and os.path.isfile(path):
                 outs.append(np.load(path))
                 continue
             out = extract_with_model(
-                kind, mix, m, bigshifts=cfg.bigshifts,
-                bigshifts_srs=cfg.bigshifts_srs, denoise=cfg.denoise)
+                kind, mix, m, bigshifts=bigshifts,
+                bigshifts_srs=bigshifts_srs, denoise=cfg.denoise)
             if path is not None:
                 os.makedirs(cfg.cache_dir, exist_ok=True)
                 np.save(path, out)
@@ -272,7 +306,9 @@ class KarafanPipeline:
             vocal_final = KU.pass_filter("highpass", 18, vocal_final, 44100, 100)
             music_final = KU.pass_filter("highpass", 18, music_final, 44100, 100)
         if cfg.silent_db < 0:
+            # the reference gates BOTH finals (inference.py:492,504)
             vocal_final = KU.silent(vocal_final, 44100, cfg.silent_db)
+            music_final = KU.silent(music_final, 44100, cfg.silent_db)
 
         if stages is not None:
             stages.update(normalized=normalized, music_extract=music_ens,

@@ -12,10 +12,22 @@ import sys
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# the persistent-cache AOT loader logs benign machine-feature-mismatch
+# errors (pseudo-features like prefer-no-scatter) at C++ level; silence them
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: dedups identical HLO across test files in a
+# single run (each file builds its own tiny-model instances → same HLO) and
+# warm-starts repeat runs. Keyed on backend+flags so the CPU cache never
+# collides with the TPU one (bench.py uses .jax_cache).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -13,12 +13,43 @@ def test_normalize():
 
 
 def test_make_ensemble_max_and_avg():
-    a = np.array([[1.0, -3.0, 0.5]])
-    b = np.array([[-2.0, 1.0, 0.6]])
-    mx = KU.make_ensemble("Max", [a, b])
-    np.testing.assert_allclose(mx, [[-2.0, -3.0, 0.6]])
-    avg = KU.make_ensemble("Average", [a, b])
-    np.testing.assert_allclose(avg, [[-0.5, -1.0, 0.55]])
+    """Spectral-domain Max (reference Make_Ensemble:305-354 — per-TF-bin
+    magnitude select at n_fft=6144/hop=1024) and pad-to-longest Average."""
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    a = np.stack([np.sin(2 * np.pi * 440 * t)] * 2).astype(np.float32)
+    b = np.stack([0.3 * np.sin(2 * np.pi * 440 * t)] * 2).astype(np.float32)
+    hi = np.stack([0.8 * np.sin(2 * np.pi * 5000 * t)] * 2).astype(np.float32)
+
+    def tone_amp(x, f):
+        spec = np.abs(np.fft.rfft(x[0]))
+        freqs = np.fft.rfftfreq(x.shape[-1], 1 / sr)
+        return spec[np.abs(freqs - f) < 30].max() / (x.shape[-1] / 2)
+
+    # same tone, different levels: Max keeps the louder one
+    mx = KU.make_ensemble("Max", [b, a])
+    assert abs(tone_amp(mx, 440) - 1.0) < 0.05
+    # disjoint bands: Max keeps both (per-bin union)
+    mx2 = KU.make_ensemble("Max", [a, hi])
+    assert abs(tone_amp(mx2, 440) - 1.0) < 0.05
+    assert abs(tone_amp(mx2, 5000) - 0.8) < 0.05
+
+    # Average: zero-pads to the longest input then means (reference :311-331)
+    avg = KU.make_ensemble("Average", [a, a[..., : sr // 2]])
+    assert avg.shape[-1] == a.shape[-1]
+    np.testing.assert_allclose(avg[..., : sr // 2], a[..., : sr // 2], atol=1e-6)
+    np.testing.assert_allclose(avg[..., sr // 2 :], 0.5 * a[..., sr // 2 :], atol=1e-6)
+
+
+def test_stft_istft_roundtrip():
+    """stft_l/istft_l (librosa semantics): iSTFT(STFT(x)) reconstructs the
+    first hop*(frames-1) samples."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 44100)).astype(np.float32)
+    y = KU.istft_l(KU.stft_l(x))
+    n = y.shape[-1]
+    assert n == 1024 * (x.shape[-1] // 1024)
+    np.testing.assert_allclose(y, x[..., :n], atol=1e-4)
 
 
 def test_pass_filter():
