@@ -109,7 +109,7 @@ class Conv1d(nn.Module):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, return_weights: bool = False):
         shape = (self.out_channels, self.in_channels // self.groups, self.kernel_size)
         if self.weight_norm:
             v = self.param("weight_v", self._kernel_init, shape, jnp.float32)
@@ -119,6 +119,21 @@ class Conv1d(nn.Module):
             w = g * v / (_norm_except_dim0(v) + 1e-12)
         else:
             w = self.param("weight", self._kernel_init, shape, jnp.float32)
+        if return_weights:
+            # fused-kernel path (ops/pallas_resblock): hand the folded weight
+            # (+ bias) to the caller instead of convolving. Params are
+            # created in the same order as the conv path, so the tree is
+            # identical either way.
+            b = None
+            if self.use_bias:
+                fan_in = shape[1] * shape[2]
+                bound = 1.0 / math.sqrt(fan_in)
+                b = self.param(
+                    "bias",
+                    lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                    (self.out_channels,),
+                )
+            return w, b
         if self.s2d > 1:
             assert self.stride == 1 and self.groups == 1
             W2, pl, pr = _s2d_weight(w, self.s2d, self.dilation, self.padding)

@@ -135,29 +135,40 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3, 5)
     s2d: int = 1
+    fuse: bool = False  # single fused Pallas kernel (inference, TPU)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask=None):
+        convs = []
         for i, d in enumerate(self.dilation):
-            xt = leaky_relu(x, LRELU_SLOPE)
-            if x_mask is not None:
-                xt = xt * x_mask
-            xt = Conv1d(
+            convs.append((Conv1d(
                 self.channels, self.channels, self.kernel_size,
                 dilation=d, padding=(self.kernel_size * d - d) // 2,
                 weight_norm=True, s2d=self.s2d, dtype=self.dtype,
-                name=f"convs1_{i}",
-            )(xt)
-            xt = leaky_relu(xt, LRELU_SLOPE)
-            if x_mask is not None:
-                xt = xt * x_mask
-            xt = Conv1d(
+                name=f"convs1_{i}"), d))
+            convs.append((Conv1d(
                 self.channels, self.channels, self.kernel_size,
                 dilation=1, padding=(self.kernel_size - 1) // 2,
                 weight_norm=True, s2d=self.s2d, dtype=self.dtype,
-                name=f"convs2_{i}",
-            )(xt)
+                name=f"convs2_{i}"), 1))
+        if self.fuse and x_mask is None:
+            # whole chain in ONE kernel: 2 HBM transfers instead of 24
+            # (ops/pallas_resblock). Param tree identical to the path below.
+            from ..ops.pallas_resblock import fused_resblock1
+
+            packed = [(*conv(None, return_weights=True), self.kernel_size, d)
+                      for conv, d in convs]
+            return fused_resblock1(x, packed, S=self.s2d)
+        for i in range(0, len(convs), 2):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = convs[i][0](xt)
+            xt = leaky_relu(xt, LRELU_SLOPE)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = convs[i + 1][0](xt)
             x = xt + x
         if x_mask is not None:
             x = x * x_mask
@@ -169,6 +180,7 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3)
     s2d: int = 1
+    fuse: bool = False  # accepted for API parity; fusion covers ResBlock1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -201,6 +213,7 @@ class GeneratorNSF(nn.Module):
     upsample_kernel_sizes: Sequence[int]
     gin_channels: int
     sr: int
+    fuse_resblocks: bool = False  # Pallas fused chain (inference, TPU only)
     dtype: Any = jnp.float32
 
     @property
@@ -264,7 +277,9 @@ class GeneratorNSF(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                r = rb_cls(c_cur, rk, tuple(rd), s2d=S, dtype=self.dtype,
+                r = rb_cls(c_cur, rk, tuple(rd), s2d=S,
+                           fuse=self.fuse_resblocks and rb_cls is ResBlock1,
+                           dtype=self.dtype,
                            name=f"resblocks_{i * num_kernels + j}")(x)
                 xs = r if xs is None else xs + r
             x = xs / num_kernels
@@ -286,6 +301,7 @@ class Generator(nn.Module):
     upsample_initial_channel: int
     upsample_kernel_sizes: Sequence[int]
     gin_channels: int = 0
+    fuse_resblocks: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -318,7 +334,9 @@ class Generator(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                r = rb_cls(ch, rk, tuple(rd), s2d=S, dtype=self.dtype,
+                r = rb_cls(ch, rk, tuple(rd), s2d=S,
+                           fuse=self.fuse_resblocks and rb_cls is ResBlock1,
+                           dtype=self.dtype,
                            name=f"resblocks_{i * num_kernels + j}")(x)
                 xs = r if xs is None else xs + r
             x = xs / num_kernels

@@ -134,6 +134,7 @@ class Synthesizer(nn.Module):
     sr: int
     feature_dim: int = 768  # 256 for v1, 768 for v2
     use_f0: bool = True
+    fuse_resblocks: bool = False  # Pallas fused resblock chain (TPU inference)
     dtype: Any = jnp.float32
 
     @classmethod
@@ -187,6 +188,7 @@ class Synthesizer(nn.Module):
                 self.upsample_kernel_sizes,
                 gin_channels=self.gin_channels,
                 sr=self.sr,
+                fuse_resblocks=self.fuse_resblocks,
                 dtype=self.dtype,
             )
         else:
@@ -199,6 +201,7 @@ class Synthesizer(nn.Module):
                 self.upsample_initial_channel,
                 self.upsample_kernel_sizes,
                 gin_channels=self.gin_channels,
+                fuse_resblocks=self.fuse_resblocks,
                 dtype=self.dtype,
             )
         self.enc_q = PosteriorEncoder(

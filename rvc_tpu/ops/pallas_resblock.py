@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: one fused HiFiGAN ResBlock (6 convs) per dispatch.
+
+The NSF decoder's resblock stacks (reference lib/infer_pack/modules.py
+ResBlock1:220-301, consumed by GeneratorNSF models.py:549-563) are the
+dominant sample-rate compute. Unfused, every conv round-trips the
+(B, T, C) activation through HBM: 12 reads + 12 writes per resblock
+chain. This kernel keeps one tile of the sequence in VMEM and runs the
+whole chain — leaky_relu → dilated conv → leaky_relu → conv → residual
+add, three times — writing only the final tile back: 2 HBM transfers
+instead of 24.
+
+Design notes (TPU):
+- Convs are expressed as per-tap matmuls: y[t] = Σ_j x[t + off_j] @ W_j
+  with (tile, C)x(C, C) dots on the MXU. For space-to-depth-packed stages
+  (C < 128; see models/layers._s2d_weight) the taps are the packed
+  block-Toeplitz superchannel weights, so lane utilization is full either
+  way. FLOPs are identical to the unfused form.
+- Halos: the caller zero-pads the sequence by the chain's total left/right
+  reach; each grid step DMAs tile+halo from HBM (overlapping windows are
+  not expressible as a BlockSpec).
+- Exactness: the unfused path zero-pads EVERY conv input at the sequence
+  boundary, so layer outputs beyond the sequence are consumed as zeros.
+  The kernel reproduces this with a positional mask after every conv
+  (rows outside [0, T) are zeroed before being consumed) — fused and
+  unfused outputs match everywhere, not just in the interior.
+- Inference-only (no custom VJP); the training path keeps the unfused
+  convs.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 512  # packed frames per grid step
+
+
+def _conv_taps(w: jax.Array, b: jax.Array | None, k: int, d: int, S: int):
+    """One conv's tap list for the kernel.
+
+    Returns (offsets, taps (n, CL_in, CL_out), bias (CL,), left_reach).
+    S > 1: the space-to-depth packed form (models/layers._s2d_weight) —
+    stride-1 taps over superframes. S == 1: the dilated form, k taps at
+    spacing d (same FLOPs as the conv).
+    """
+    padding = (k * d - d) // 2
+    if S > 1:
+        from ..models.layers import _s2d_weight
+
+        W2, pl_, pr_ = _s2d_weight(w, S, d, padding)  # (S·O, S·I, Q)
+        taps = jnp.transpose(W2, (2, 1, 0))  # (Q, CL_in, CL_out)
+        offs = list(range(taps.shape[0]))
+        bias = None if b is None else jnp.tile(b, S)
+        return offs, taps, bias, pl_
+    taps = jnp.transpose(w, (2, 1, 0))  # (k, I, O)
+    offs = [j * d for j in range(k)]
+    return offs, taps, b, padding
+
+
+def _lrelu(x, slope=0.1):
+    # max(x, s·x) == leaky_relu for 0 < s < 1; avoids a float compare,
+    # which Mosaic cannot lower for packed bf16 vectors
+    return jnp.maximum(x, x * slope)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _fused_call(x, w_cat, b_cat, *, meta, interpret=False):
+    """meta: tuple of per-conv (n_taps, offsets tuple, left_reach) × 6,
+    plus (T, SL, HR). Static so the kernel unrolls fully.
+
+    All in-kernel buffers stay at the FIXED size TILE+SL+HR (Mosaic
+    requires 8-aligned slice shapes, which shrinking per-conv slices
+    violate): tap shifts are circular rolls, and the garbage that wraps
+    around stays inside the halo frontier, which the final center crop
+    never reads."""
+    conv_meta, T, SL, HR = meta
+    B, Tpad, CL = x.shape
+    n_tiles = Tpad // TILE
+    dtype = x.dtype
+    L0 = TILE + SL + HR  # multiple of 8 by construction
+
+    def kernel(x_hbm, w_ref, b_ref, out_ref, xt, sem):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ti * TILE, L0), :], xt, sem)
+        cp.start()
+        cp.wait()
+
+        # tile_org: global extended coordinate of this buffer's row 0; the
+        # sequence occupies extended coords [SL, SL + T)
+        tile_org = ti * TILE
+
+        # Buffers are carried in f32: Mosaic's rotate only handles 32-bit
+        # data. Values stay EXACTLY bf16-representable — dot inputs are cast
+        # to the compute dtype and every conv/residual output is rounded
+        # through it — so fused output == unfused bf16 output.
+        def rnd(v):
+            return v if dtype == jnp.float32 else v.astype(dtype).astype(
+                jnp.float32)
+
+        def conv(buf, ci, g, row0):
+            # buf row t sits at extended coord tile_org + t + g; the conv
+            # advances the frame by its left reach (output row t ↔ input
+            # row t + lr)
+            n, offs, lr = conv_meta[ci]
+            acc = None
+            for j in range(n):
+                # left-shift by off expressed as the equivalent non-negative
+                # roll (pltpu.roll rejects negative shifts)
+                shifted = buf if offs[j] == 0 else pltpu.roll(
+                    buf, L0 - offs[j], axis=0)
+                contrib = jnp.dot(shifted.astype(dtype), w_ref[row0 + j],
+                                  preferred_element_type=jnp.float32)
+                acc = contrib if acc is None else acc + contrib
+            acc = acc + b_ref[ci, :][None, :].astype(jnp.float32)
+            y = rnd(acc)
+            # zero rows outside the sequence: the unfused path's next conv
+            # zero-pads its input there (torch same-padding semantics)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (L0, 1), 0) + (
+                g + lr + tile_org - SL)
+            keep = ((pos >= 0) & (pos < T)).astype(jnp.float32)
+            return y * keep  # multiplicative mask (no bf16 select needed)
+
+        h = xt[:].astype(jnp.float32)
+        g = 0  # frame shift: coord of h[t] = tile_org + t + g
+        row0 = 0
+        for p in range(3):
+            ci_a, ci_b = 2 * p, 2 * p + 1
+            n_a, offs_a, lr_a = conv_meta[ci_a]
+            n_b, offs_b, lr_b = conv_meta[ci_b]
+            t = conv(_lrelu(h), ci_a, g, row0)
+            row0 += n_a
+            t = conv(_lrelu(t), ci_b, g + lr_a, row0)
+            row0 += n_b
+            # realign h to t's frame before the residual add
+            h = rnd(pltpu.roll(h, L0 - (lr_a + lr_b), axis=0) + t)
+            g += lr_a + lr_b
+        # after the chain g == SL: h[t] ↔ coord tile_org + t + SL, so rows
+        # [0, TILE) are exactly this tile's outputs
+        out_ref[0] = h[:TILE, :].astype(dtype)
+
+    total_taps = sum(m[0] for m in conv_meta)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE, CL), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, CL), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((L0, CL), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_tiles * TILE * CL * CL * total_taps,
+            bytes_accessed=(B * Tpad * CL + B * n_tiles * TILE * CL) * 2
+            + total_taps * CL * CL * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_cat, b_cat)
+
+
+def fused_resblock1(
+    x: jax.Array,
+    convs: Sequence[tuple[jax.Array, jax.Array | None, int, int]],
+    S: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ResBlock1 chain over packed activations.
+
+    x: (B, Tp, CL) with CL = S·C (space-to-depth packed when S > 1, plain
+    channels when S == 1). convs: 6 tuples (weight (O, I, k) torch layout,
+    bias (O,) or None, kernel_size, dilation) in chain order
+    [convs1_0, convs2_0, convs1_1, convs2_1, convs1_2, convs2_2].
+    Returns (B, Tp, CL), numerically equal to the unfused chain.
+    """
+    B, T, CL = x.shape
+    built = [_conv_taps(w, b, k, d, S) for (w, b, k, d) in convs]
+    conv_meta = tuple(
+        (len(offs), tuple(offs), lr) for (offs, _, _, lr) in built)
+    SL = sum(m[2] for m in conv_meta)  # total left reach of the chain
+    SR = sum(m[1][-1] for m in conv_meta) - SL  # total right reach
+    # right halo rounded so the kernel buffer TILE+SL+HR is 8-aligned
+    # (Mosaic sublane tiling)
+    HR = SR + (-(TILE + SL + SR)) % 8
+    dtype = x.dtype
+    w_cat = jnp.concatenate([t for (_, t, _, _) in built], axis=0).astype(dtype)
+    b_cat = jnp.stack([
+        jnp.zeros((CL,), jnp.float32) if bb is None else bb.astype(jnp.float32)
+        for (_, _, bb, _) in built])
+    Tp = -(-T // TILE) * TILE
+    xp = jnp.pad(x, ((0, 0), (SL, HR + Tp - T), (0, 0)))
+    meta = (conv_meta, T, SL, HR)
+    out = _fused_call(xp, w_cat, b_cat, meta=meta, interpret=interpret)
+    return out[:, :T]

@@ -21,8 +21,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TQ = 128  # query rows per tile
-TN = 256  # bank rows per tile
+TQ = 128   # query rows per tile
+TN = 2048  # bank rows per tile — big tiles amortize grid-step overhead:
+#            at TN=256 a 131k-row bank costs ~512 j-steps per query tile
+#            (~15 us each — the step overhead, not the math, dominated and
+#            measured ~100 ms per conversion); TN=2048 cuts it 8x. The
+#            int8 tile is 1.5 MB (x2 double-buffered) in VMEM.
 
 
 def _kernel(q_ref, bank_ref, out_ref, best_d_ref, best_row_ref):

@@ -94,7 +94,13 @@ class VoiceConverter:
         self.config = config or RVCConfig()
         self.dtype = dtype
         self.mesh = mesh
-        self.synth = Synthesizer(**{**synth_kwargs, "dtype": dtype})
+        # fused Pallas resblock chain on a real accelerator (inference-only
+        # kernel; the CPU/dryrun path keeps the plain convs)
+        fuse = synth_kwargs.get(
+            "fuse_resblocks",
+            mesh is None and all(d.platform != "cpu" for d in jax.devices()))
+        self.synth = Synthesizer(
+            **{**synth_kwargs, "dtype": dtype, "fuse_resblocks": fuse})
         self.synth_params = synth_params
         self.version = "v1" if synth_kwargs.get("feature_dim", 768) == 256 else "v2"
         self.use_f0 = synth_kwargs.get("use_f0", True)

@@ -38,3 +38,22 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+def finit(module, *args, rngs=None, method=None, seed=0, **kwargs):
+    """Shape-traced random params (utils.fastinit) — skips compiling the
+    init graph, which dominates the wall time of full-size-model tests on
+    this 1-core host (e.g. RMVPE/S3FD inits: 30-60 s → <1 s). Use wherever
+    a test only needs *some* finite params, not the init distribution."""
+    import functools
+
+    import jax
+
+    from rvc_tpu.utils.fastinit import fast_init
+
+    if rngs is None:
+        rngs = jax.random.PRNGKey(0)
+    if method is not None:
+        kwargs["method"] = method
+    return fast_init(functools.partial(module.init, rngs, **kwargs),
+                     *args, seed=seed)

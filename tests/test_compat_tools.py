@@ -7,10 +7,13 @@ from tests.test_models import TINY
 
 
 def _mk_params(net, seed):
-    return net.init(
-        {"params": jax.random.PRNGKey(seed), "noise": jax.random.PRNGKey(1)},
-        jnp.zeros((1, 8, 24)), jnp.array([8]), jnp.ones((1, 8), jnp.int32),
+    from conftest import finit
+
+    return finit(
+        net, jnp.zeros((1, 8, 24)), jnp.array([8]), jnp.ones((1, 8), jnp.int32),
         jnp.full((1, 8), 150.0), jnp.array([0]), method=net.infer,
+        rngs={"params": jax.random.PRNGKey(seed), "noise": jax.random.PRNGKey(1)},
+        seed=seed,
     )
 
 

@@ -213,6 +213,7 @@ def test_convert_batch_multi_song(converter):
         assert np.abs(b).max() > 0
 
 
+@pytest.mark.slow
 def test_convert_batch_dp_sharded():
     """Batch-of-songs over an 8-device dp mesh (multi-chip throughput
     serving mode): one dp-sharded dispatch for all songs' chunks."""
@@ -230,6 +231,7 @@ def test_convert_batch_dp_sharded():
         assert np.abs(out).max() > 0
 
 
+@pytest.mark.slow
 def test_convert_dp_sharded():
     """Chunk batch sharded over an 8-device dp mesh matches output duration."""
     import jax

@@ -7,7 +7,7 @@ import types
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.parity  # torch reference parity
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # torch reference parity
 
 REF_LIB = "/root/reference/lib"
 

@@ -78,9 +78,11 @@ def test_bigru_matches_torch(rng):
 def test_rmvpe_forward_shapes(rng):
     from rvc_tpu.models.rmvpe import RMVPE
 
+    from conftest import finit
+
     audio = jnp.asarray((0.1 * rng.standard_normal((1, 16000))).astype(np.float32))
     model = RMVPE()
-    params = model.init(jax.random.PRNGKey(0), audio)
+    params = finit(model, audio)
     f0 = model.apply(params, audio)
     assert f0.shape == (1, 101)  # 1 + 16000//160 frames, center=True
     assert np.isfinite(np.asarray(f0)).all()

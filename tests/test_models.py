@@ -220,10 +220,12 @@ def test_synthesizer_train_forward(rng):
 
 
 def test_discriminator(rng):
+    from conftest import finit
+
     d = MultiPeriodDiscriminator(version="v1")
     y = jnp.asarray(rng.standard_normal((1, 1600, 1)).astype(np.float32))
     yh = jnp.asarray(rng.standard_normal((1, 1600, 1)).astype(np.float32))
-    params = d.init(jax.random.PRNGKey(0), y, yh)
+    params = finit(d, y, yh)
     rs, gs, frs, fgs = d.apply(params, y, yh)
     assert len(rs) == 7  # 1 scale + 6 periods
     assert all(np.isfinite(np.asarray(r)).all() for r in rs)

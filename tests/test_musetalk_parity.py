@@ -18,6 +18,8 @@ import math
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # torch golden parity
+
 import jax
 import jax.numpy as jnp
 

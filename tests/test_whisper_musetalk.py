@@ -77,7 +77,9 @@ def test_unet_2d_condition(rng):
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
     t = jnp.zeros((2,), jnp.int32)
     ctx = jnp.asarray(rng.standard_normal((2, 10, 12)).astype(np.float32))
-    params = unet.init(jax.random.PRNGKey(0), x, t, ctx)
+    from conftest import finit
+
+    params = finit(unet, x, t, ctx)
     y = unet.apply(params, x, t, ctx)
     assert y.shape == (2, 16, 16, 4)
     assert np.isfinite(np.asarray(y)).all()
@@ -105,9 +107,11 @@ def test_blend_face(rng):
 def test_bisenet_shapes(rng):
     from rvc_tpu.models.musetalk.face import BiSeNet
 
+    from conftest import finit
+
     net = BiSeNet(n_classes=19)
     x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
-    params = net.init(jax.random.PRNGKey(0), x)
+    params = finit(net, x)
     y = net.apply(params, x)
     assert y.shape == (1, 64, 64, 19)
 
@@ -115,9 +119,11 @@ def test_bisenet_shapes(rng):
 def test_s3fd_shapes_and_decode(rng):
     from rvc_tpu.models.musetalk.face import S3FD, decode_s3fd, nms
 
+    from conftest import finit
+
     net = S3FD()
     x = jnp.asarray(rng.standard_normal((1, 128, 128, 3)).astype(np.float32))
-    params = net.init(jax.random.PRNGKey(0), x)
+    params = finit(net, x)
     outs = net.apply(params, x)
     assert len(outs) == 12
     assert outs[0].shape[1] == 32  # stride 4 map
@@ -142,8 +148,9 @@ def test_whisper_detect_language(rng):
                        n_text_layer=1)
     model = Whisper(dims)
     mel = jnp.asarray(rng.standard_normal((2, 20, 8)), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), mel,
-                        jnp.zeros((2, 3), jnp.int32))
+    from conftest import finit
+
+    params = finit(model, mel, jnp.zeros((2, 3), jnp.int32))
     ids, probs = detect_language(params, dims, mel)
     assert ids.shape == (2,) and probs.shape == (2,)
     assert all(50259 <= i <= 50357 for i in ids)
@@ -249,6 +256,8 @@ def test_face_parser_and_parsed_blend(rng):
     np.testing.assert_array_equal(out2, frame)
 
 
+@pytest.mark.slow
+@pytest.mark.parity
 def test_fan_parity_vs_reference(rng):
     """FAN stacked-hourglass vs reference face_detection/models.py:145-202
     on identical random weights (eval mode, running stats)."""
@@ -308,6 +317,7 @@ def test_refine_box_with_landmarks():
     assert refine_box_with_landmarks(box, lm_bad) == box
 
 
+@pytest.mark.slow
 def test_musetalk_landmark_refined_crops(rng):
     """FAN-refined detect path: pipeline.get_landmarks batches crops in one
     dispatch and maps points back to frame coordinates."""
@@ -332,6 +342,8 @@ def test_musetalk_landmark_refined_crops(rng):
     assert (lms[0][:, 1] >= y1 - 1).all() and (lms[0][:, 1] <= y2 + 1).all()
 
 
+@pytest.mark.slow
+@pytest.mark.parity
 def test_beam_decode_parity_vs_reference_decoder(rng):
     """beam_decode vs the reference vendored BeamSearchDecoder/
     MaximumLikelihoodRanker (musetalk/whisper/whisper/decoding.py:281-368)
