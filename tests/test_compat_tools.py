@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_models import TINY
 
@@ -21,6 +22,7 @@ CFG = [129, 16, 16, 16, 32, 2, 2, 3, 0.0, "1", [3, 5], [[1, 3], [1, 3]],
        [10, 4, 2, 2], 32, [16, 8, 4, 4], 4, 8, 16000]
 
 
+@pytest.mark.heavy
 def test_process_ckpt_merge_and_info(tmp_path):
     from rvc_tpu.compat import process_ckpt as PC
     from rvc_tpu.compat.torch_export import save_rvc_checkpoint
@@ -39,6 +41,7 @@ def test_process_ckpt_merge_and_info(tmp_path):
     assert PC.change_info(m, "tag", str(tmp_path / "m2.pth")) == "Success."
 
 
+@pytest.mark.heavy
 def test_infer_mix(rng):
     from rvc_tpu.models.synthesizer import Synthesizer
 
@@ -240,6 +243,7 @@ def _flat_params(tree, prefix=()):
     return out
 
 
+@pytest.mark.heavy
 def test_convtdf_onnx_auto_mapper(tmp_path, rng):
     """Both ONNX→ConvTDFNetTrim strategies: torch-named initializers and
     anonymized names via structural graph walking."""

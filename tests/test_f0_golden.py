@@ -99,6 +99,7 @@ def test_voicing_breaks(method):
     assert (voiced2 > 0).mean() >= 0.9, f"{method}: lost voicing after gap"
 
 
+@pytest.mark.heavy
 def test_octave_robustness_strong_second_harmonic():
     """2nd harmonic 1.5× stronger than the fundamental — the classic
     octave-up trap; the octave-cost scoring must keep the fundamental."""

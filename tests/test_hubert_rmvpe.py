@@ -75,6 +75,7 @@ def test_bigru_matches_torch(rng):
     np.testing.assert_allclose(y, ref, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_rmvpe_forward_shapes(rng):
     from rvc_tpu.models.rmvpe import RMVPE
 
@@ -110,6 +111,7 @@ def test_rmvpe_decode_cents_matches_numpy(rng):
     np.testing.assert_allclose(out, np.array(ref), rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_crepe_shapes(rng):
     from rvc_tpu.models import crepe
 

@@ -110,6 +110,7 @@ def test_encoder_shapes_and_mask(rng):
     np.testing.assert_allclose(np.asarray(y[1, :8]), np.asarray(y2[1, :8]), atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_coupling_flow_invertible(rng):
     flow = ResidualCouplingBlock(16, 24, 5, 1, 3, gin_channels=8)
     x = jnp.asarray(rng.standard_normal((2, 10, 16)).astype(np.float32))
@@ -164,6 +165,7 @@ def test_sine_source_unvoiced_noise():
     assert 0.01 < s.std() < 0.05  # noise at sine_amp/3
 
 
+@pytest.mark.heavy
 def test_generator_nsf_shapes(rng):
     gen = GeneratorNSF(
         initial_channel=16, resblock="1",
@@ -181,6 +183,7 @@ def test_generator_nsf_shapes(rng):
 
 
 @pytest.mark.parametrize("use_f0", [True, False])
+@pytest.mark.heavy
 def test_synthesizer_infer(rng, use_f0):
     net = Synthesizer(**{**TINY, "use_f0": use_f0})
     B, T = 2, 14
@@ -199,6 +202,7 @@ def test_synthesizer_infer(rng, use_f0):
     assert np.isfinite(np.asarray(o)).all()
 
 
+@pytest.mark.heavy
 def test_synthesizer_train_forward(rng):
     net = Synthesizer(**TINY)
     B, T = 2, 30
@@ -219,6 +223,7 @@ def test_synthesizer_train_forward(rng):
     assert np.isfinite(np.asarray(o)).all()
 
 
+@pytest.mark.heavy
 def test_discriminator(rng):
     from conftest import finit
 

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rvc_tpu.retrieval.index import FeatureIndex, train_index
 from rvc_tpu.pitch.extractor import (
@@ -87,6 +88,7 @@ def test_nan_merge():
     np.testing.assert_allclose(out, [105.0, 0.0, 200.0])
 
 
+@pytest.mark.heavy
 def test_pitch_extractor_dispatch_classical():
     sr = 16000
     t = np.arange(sr) / sr

@@ -23,6 +23,7 @@ def test_mdx_spectrogram_roundtrip(rng):
     np.testing.assert_allclose(y[:, :, t:-t], x[:, :, t:-t], atol=1e-3)
 
 
+@pytest.mark.heavy
 def test_conv_tdf_net_shapes(rng):
     net = ConvTDFNetTrim(num_blocks=5, l=1, g=4, bn=2, dim_f=64, norm="GroupNorm2")
     x = jnp.asarray(rng.standard_normal((1, 16, 64, 4)).astype(np.float32))
@@ -32,6 +33,7 @@ def test_conv_tdf_net_shapes(rng):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.heavy
 def test_tfc_tdf_net_shapes(rng):
     net = TFCTDFNet(num_targets=2, num_subbands=2, num_scales=2, scale=(2, 2),
                     num_blocks_per_scale=1, c=4, g=4, bn=2, dim_f=64)
@@ -80,6 +82,7 @@ def test_band_combine_and_reconstruct(rng):
     assert abs(wav.shape[1] - sr_hi) < 4096
 
 
+@pytest.mark.heavy
 def test_vr_cascaded_net(rng):
     from conftest import finit
 
@@ -95,6 +98,7 @@ def test_vr_cascaded_net(rng):
     assert np.asarray(mask2).mean() <= m.mean() + 1e-6
 
 
+@pytest.mark.heavy
 def test_mdx_separator_end_to_end(rng):
     net = ConvTDFNetTrim(num_blocks=5, l=1, g=4, bn=2, dim_f=256, norm="GroupNorm2")
     x0 = jnp.zeros((1, 32, 256, 4))

@@ -18,6 +18,7 @@ REF_LIB = "/root/reference/lib"
 TINY = dict(N=16, L=8, B=12, H=24, P=3, X=3, R=2, audio_channels=2)
 
 
+@pytest.mark.heavy
 def test_tasnet_shapes(rng):
     model = ConvTasNet(sources=("vocals", "other"), **TINY)
     T = 8 * 50 + 4  # not a multiple of the frame step

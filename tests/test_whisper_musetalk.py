@@ -27,6 +27,7 @@ def test_log_mel_shape(rng):
     assert m.min() >= (m.max() * 4 - 4 - 8 + 4) / 4 - 1e-5
 
 
+@pytest.mark.heavy
 def test_whisper_encoder_decoder(rng):
     model = Whisper(TINY_W)
     mel = jnp.asarray(rng.standard_normal((1, 100, 80)).astype(np.float32))
@@ -49,6 +50,7 @@ def test_whisper_greedy_decode(rng):
     assert toks.shape[0] == 1 and toks.shape[1] <= 8
 
 
+@pytest.mark.heavy
 def test_vae_roundtrip_shapes(rng):
     from rvc_tpu.models.musetalk.vae import AutoencoderKL, VAEConfig
 
@@ -63,6 +65,7 @@ def test_vae_roundtrip_shapes(rng):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.heavy
 def test_unet_2d_condition(rng):
     from rvc_tpu.models.musetalk.unet import UNet2DCondition, UNetConfig
 
@@ -104,6 +107,7 @@ def test_blend_face(rng):
     assert out[50, 50].max() == 0  # outside untouched
 
 
+@pytest.mark.heavy
 def test_bisenet_shapes(rng):
     from rvc_tpu.models.musetalk.face import BiSeNet
 
@@ -116,6 +120,7 @@ def test_bisenet_shapes(rng):
     assert y.shape == (1, 64, 64, 19)
 
 
+@pytest.mark.heavy
 def test_s3fd_shapes_and_decode(rng):
     from rvc_tpu.models.musetalk.face import S3FD, decode_s3fd, nms
 
@@ -132,6 +137,7 @@ def test_s3fd_shapes_and_decode(rng):
     assert kept.ndim == 2 and kept.shape[1] == 5
 
 
+@pytest.mark.heavy
 def test_whisper_detect_language(rng):
     """Language detection: one decoder step on SOT restricted to the
     language-token range; 'auto' splices the id into the SOT sequence."""
@@ -193,6 +199,7 @@ def test_decode_with_timestamps(rng):
     assert s0 == 0.2 and toks0 == [104, 105] and e0 > s0
 
 
+@pytest.mark.heavy
 def test_decode_with_timestamps_end_to_end(rng):
     """Real tiny model: segments are well-formed (monotonic, in-range)."""
     import jax
@@ -213,6 +220,7 @@ def test_decode_with_timestamps_end_to_end(rng):
         assert all(t < 50257 for t in toks)
 
 
+@pytest.mark.heavy
 def test_face_parser_and_parsed_blend(rng):
     """FaceParser batches BiSeNet over crops; blend_face_parsed only
     touches the lower (jaw) region of the expanded crop (reference
