@@ -123,7 +123,9 @@ def main():
     n_songs, song_s = 8, 10.0
     songs = [load_speech(song_s, offset_s=3.0 * i) for i in range(n_songs)]
     stats: dict = {}
-    vc.convert_batch(songs, settings=settings)  # warmup/compile
+    # warmup WITH stats: the FLOP count (core.lower().compile()) is a
+    # second full XLA compile — pay it here, not inside a timed repeat
+    vc.convert_batch(songs, settings=settings, stats=stats)
     walls = []
     for _ in range(4):
         t0 = time.perf_counter()

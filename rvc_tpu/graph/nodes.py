@@ -79,7 +79,17 @@ def _preview_payload(saved_path: str, *hash_parts) -> list[dict]:
 
     widget_id = get_hash(saved_path, *hash_parts)
     ext = os.path.splitext(saved_path)[1].lstrip(".") or "wav"
-    tempdir = os.path.join(tempfile.gettempdir(), "rvc_tpu", "preview")
+    # ComfyUI serves type="temp" from folder_paths.get_temp_directory();
+    # copying anywhere else would 404 the /view request (the reference
+    # PreviewAudio writes there too, audio_nodes.py:178). Outside ComfyUI
+    # (unit tests, CLI) fall back to the OS temp dir.
+    try:
+        import folder_paths  # ComfyUI host module
+
+        base = folder_paths.get_temp_directory()
+    except Exception:
+        base = os.path.join(tempfile.gettempdir(), "rvc_tpu")
+    tempdir = os.path.join(base, "preview")
     os.makedirs(tempdir, exist_ok=True)
     audio_name = f"{widget_id}.{ext}"
     shutil.copyfile(saved_path, os.path.join(tempdir, audio_name))

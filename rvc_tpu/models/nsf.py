@@ -155,11 +155,16 @@ class ResBlock1(nn.Module):
         if self.fuse and x_mask is None:
             # whole chain in ONE kernel: 2 HBM transfers instead of 24
             # (ops/pallas_resblock). Param tree identical to the path below.
+            import jax as _jax
+
             from ..ops.pallas_resblock import fused_resblock1
 
             packed = [(*conv(None, return_weights=True), self.kernel_size, d)
                       for conv, d in convs]
-            return fused_resblock1(x, packed, S=self.s2d)
+            # no Mosaic on CPU: fall back to the interpreter so a forced
+            # fuse flag stays functional off-accelerator
+            return fused_resblock1(x, packed, S=self.s2d,
+                                   interpret=_jax.default_backend() == "cpu")
         for i in range(0, len(convs), 2):
             xt = leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:

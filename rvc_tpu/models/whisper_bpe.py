@@ -45,8 +45,13 @@ def bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
+@functools.lru_cache(maxsize=1)
+def _unicode_to_bytes() -> dict[str, int]:
+    return {c: b for b, c in bytes_to_unicode().items()}
+
+
 def _token_to_bytes(token: str) -> bytes:
-    inv = {c: b for b, c in bytes_to_unicode().items()}
+    inv = _unicode_to_bytes()
     return bytes(inv[c] for c in token)
 
 
@@ -133,7 +138,10 @@ def save_artifact(path: str, vocab: dict[str, int],
         json.dump(payload, f, ensure_ascii=False, separators=(",", ":"))
 
 
+@functools.lru_cache(maxsize=8)
 def load_artifact(path: str) -> WhisperBPE:
+    """Cached: building the ~50k-token byte tables costs ~0.1 s; a node
+    graph transcribing N clips should pay it once, not per call."""
     with gzip.open(path, "rt", encoding="utf-8") as f:
         payload = json.load(f)
     assert payload.get("format") == "rvc_tpu.whisper_bpe.v1", path
@@ -142,28 +150,87 @@ def load_artifact(path: str) -> WhisperBPE:
                       payload["multilingual"])
 
 
+@functools.lru_cache(maxsize=8)
+def _load_hf_file(path: str, multilingual: bool) -> WhisperBPE:
+    """HF fast-tokenizer ``tokenizer.json``: vocab + merges live under
+    the "model" key."""
+    with open(path, encoding="utf-8") as f:
+        payload = json.load(f)
+    model = payload["model"]
+    merges = [tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
+              for m in model["merges"]]
+    return WhisperBPE(model["vocab"], merges, multilingual)
+
+
+@functools.lru_cache(maxsize=8)
+def _load_hf_dir(base: str, multilingual: bool) -> WhisperBPE:
+    """HF snapshot layout: vocab.json + merges.txt (the reference's
+    vendored whisper assets use exactly this pair,
+    lib/musetalk/whisper/whisper/tokenizer.py)."""
+    with open(os.path.join(base, "vocab.json"), encoding="utf-8") as f:
+        vocab = json.load(f)
+    merges: list[tuple[str, str]] = []
+    with open(os.path.join(base, "merges.txt"), encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#version"):
+                continue
+            a, _, b = line.partition(" ")
+            merges.append((a, b))
+    return WhisperBPE(vocab, merges, multilingual)
+
+
 def _repo_assets() -> str:
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "assets", "whisper")
 
 
+def _try_load(base: str, name: str, multilingual: bool,
+              explicit: bool) -> WhisperBPE | None:
+    """One search location. For an EXPLICIT user path, HF formats (a fast
+    ``tokenizer.json`` file, or a snapshot dir with vocab.json+merges.txt)
+    load natively too; an explicit path that exists but can't be parsed
+    returns None so the caller's HF fallback keeps the reference
+    ``from_pretrained(path)`` semantics — it is never silently replaced by
+    the repo's committed artifact."""
+    if os.path.isfile(base):
+        try:
+            return load_artifact(base)
+        except Exception:
+            if not explicit:
+                return None
+        try:
+            return _load_hf_file(base, multilingual)
+        except Exception:
+            return None
+    if os.path.isdir(base):
+        cand = os.path.join(base, f"{name}.tokenizer.json.gz")
+        if os.path.isfile(cand):
+            return load_artifact(cand)
+        if explicit and os.path.isfile(os.path.join(base, "vocab.json")):
+            try:
+                return _load_hf_dir(base, multilingual)
+            except Exception:
+                return None
+    return None
+
+
 def load_tokenizer(path: str | None = None,
                    multilingual: bool = True) -> WhisperBPE | None:
-    """Find and load the native tokenizer. Search order: explicit ``path``
-    (artifact file or directory containing one) → $RVC_TPU_WHISPER_TOKENIZER
-    → the repo's committed assets/whisper/. Returns None if nothing found."""
+    """Find and load the native tokenizer.
+
+    Explicit ``path``: this repo's artifact, an HF ``tokenizer.json``, or
+    an HF snapshot dir — anything else (e.g. a hub id) returns None for
+    the caller's transformers fallback. Otherwise:
+    $RVC_TPU_WHISPER_TOKENIZER → the repo's committed assets/whisper/.
+    """
     name = "multilingual" if multilingual else "gpt2"
-    candidates: list[str] = []
-    for base in (path, os.environ.get("RVC_TPU_WHISPER_TOKENIZER"),
-                 _repo_assets()):
-        if not base:
-            continue
-        if os.path.isfile(base):
-            candidates.append(base)
-        else:
-            candidates.append(os.path.join(base, f"{name}.tokenizer.json.gz"))
-    for c in candidates:
-        if os.path.isfile(c):
-            return load_artifact(c)
+    if path:
+        return _try_load(path, name, multilingual, explicit=True)
+    for base in (os.environ.get("RVC_TPU_WHISPER_TOKENIZER"), _repo_assets()):
+        if base:
+            tok = _try_load(base, name, multilingual, explicit=False)
+            if tok is not None:
+                return tok
     return None

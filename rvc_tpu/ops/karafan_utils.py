@@ -93,12 +93,6 @@ def pass_filter(kind: str, cutoff: float, audio: np.ndarray, sample_rate: int,
     return _ss.sosfiltfilt(sos, audio, padlen=0, axis=-1).astype(np.float32)
 
 
-def change_sample_rate(audio: np.ndarray, up: int, down: int) -> np.ndarray:
-    """SRS pitch-preserving rate shift (reference audio_utils.Change_sample_rate):
-    resample by up/down without relabeling the rate (spectral shift trick)."""
-    return _ss.resample_poly(audio, up, down, axis=-1).astype(np.float32)
-
-
 def resample_l(y: np.ndarray, orig_sr: float, target_sr: float,
                axis: int = -1) -> np.ndarray:
     """Rate conversion with librosa.resample's call shape (kaiser-windowed

@@ -94,11 +94,12 @@ class VoiceConverter:
         self.config = config or RVCConfig()
         self.dtype = dtype
         self.mesh = mesh
-        # fused Pallas resblock chain on a real accelerator (inference-only
-        # kernel; the CPU/dryrun path keeps the plain convs)
+        # fused Pallas resblock chain on TPU (Mosaic-only kernel; the
+        # CPU/GPU and mesh-dryrun paths keep the plain convs)
         fuse = synth_kwargs.get(
             "fuse_resblocks",
-            mesh is None and all(d.platform != "cpu" for d in jax.devices()))
+            mesh is None and all(d.platform in ("tpu", "axon")
+                                 for d in jax.devices()))
         self.synth = Synthesizer(
             **{**synth_kwargs, "dtype": dtype, "fuse_resblocks": fuse})
         self.synth_params = synth_params

@@ -55,6 +55,20 @@ def test_fused_flag_param_tree_identical(rng):
     assert shapes_plain == shapes_fused
 
 
+def test_module_fused_branch_matches_on_cpu(rng):
+    """ResBlock1(fuse=True) falls back to the interpreter off-accelerator
+    and matches the conv path — covers the module wiring (weight
+    extraction through Conv1d(return_weights=True)), not just the op."""
+    rb = ResBlock1(32, 3, (1, 3, 5), s2d=4)
+    rb_f = ResBlock1(32, 3, (1, 3, 5), s2d=4, fuse=True)
+    x = jnp.asarray(rng.standard_normal((1, 200, 128)).astype(np.float32))
+    params = rb.init(jax.random.PRNGKey(0), x)
+    ref = rb.apply(params, x)
+    got = rb_f.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_fused_short_sequence(rng):
     """Sequence shorter than one tile (heavy zero padding)."""
     C, S, k = 32, 4, 3

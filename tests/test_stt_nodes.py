@@ -172,3 +172,53 @@ def test_stt_node_decodes_text_offline():
     assert tok is not None and hasattr(tok, "_id_to_bytes")
     ids = tok.encode("hello world")
     assert tok.decode(ids) == "hello world"
+
+
+def test_load_tokenizer_explicit_hf_paths(tmp_path):
+    """Explicit user paths keep their meaning (advisor r3 finding): an HF
+    fast tokenizer.json loads natively; an HF snapshot dir (vocab.json +
+    merges.txt) loads natively; an unparseable/unknown explicit path
+    returns None for the transformers fallback — NEVER the repo artifact."""
+    import gzip
+    import json
+    import os
+
+    from rvc_tpu.models.whisper_bpe import load_artifact, load_tokenizer
+
+    # build a tiny HF-format pair from the repo artifact's data
+    repo = load_artifact(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "whisper", "multilingual.tokenizer.json.gz"))
+    with gzip.open(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets", "whisper", "multilingual.tokenizer.json.gz"),
+            "rt", encoding="utf-8") as f:
+        payload = json.load(f)
+
+    # 1) HF fast tokenizer.json FILE
+    hf_file = tmp_path / "tokenizer.json"
+    hf_file.write_text(json.dumps({"model": {
+        "vocab": payload["vocab"],
+        "merges": [" ".join(m) for m in payload["merges"]]}}))
+    tok = load_tokenizer(str(hf_file), multilingual=True)
+    assert tok is not None
+    ids = repo.encode("hello world")
+    assert tok.decode(ids) == "hello world"
+
+    # 2) HF snapshot DIR (vocab.json + merges.txt)
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    (snap / "vocab.json").write_text(json.dumps(payload["vocab"]))
+    (snap / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(m) for m in payload["merges"]))
+    tok2 = load_tokenizer(str(snap), multilingual=True)
+    assert tok2 is not None and tok2.decode(ids) == "hello world"
+
+    # 3) unusable explicit paths → None (no silent repo-asset override)
+    junk = tmp_path / "weights.bin"
+    junk.write_bytes(b"\x00\x01\x02not a tokenizer")
+    assert load_tokenizer(str(junk), multilingual=True) is None
+    assert load_tokenizer("openai/whisper-large", multilingual=True) is None
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    assert load_tokenizer(str(empty), multilingual=True) is None
