@@ -87,18 +87,22 @@ def main():
                for rk, rd in zip(rb_ks, rb_ds)]
         prs = [rb.init(jax.random.PRNGKey(100 + i * 3 + j), ypk)
                for j, rb in enumerate(rbs)]
+        rbs_f = [ResBlock1(cout, rk, rd, s2d=S, fuse=True, dtype=jnp.bfloat16)
+                 for rk, rd in zip(rb_ks, rb_ds)]
 
-        def trio(ps, yy):
+        def trio(ps, yy, mods):
             xs = None
-            for rb, p in zip(rbs, ps):
+            for rb, p in zip(mods, ps):
                 r = rb.apply(p, yy)
                 xs = r if xs is None else xs + r
             return xs / 3.0
 
-        t_tr = timed(lambda ps, yy: trio(ps, yy), prs, ypk)
+        t_tr = timed(lambda ps, yy: trio(ps, yy, rbs), prs, ypk)
+        t_fu = timed(lambda ps, yy: trio(ps, yy, rbs_f), prs, ypk)
         gb = B * T_out * cout * 2 / 1e9
         print(f"stage{i} C{cin}->{cout} T{T}->{T_out} s2d={S}: "
-              f"up {t_up*1e3:7.2f} ms  resblocks {t_tr*1e3:7.2f} ms "
+              f"up {t_up*1e3:7.2f} ms  resblocks {t_tr*1e3:7.2f} ms  "
+              f"fused {t_fu*1e3:7.2f} ms ({t_tr/max(t_fu,1e-9):.2f}x) "
               f"(activation {gb*1e3:.0f} MB)", flush=True)
 
 
