@@ -37,7 +37,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512  # packed frames per grid step
+import os as _os
+
+# packed frames per grid step. 1024 measured 10-16% faster than 512 on the
+# deep stages (fewer grid steps, longer matmuls vs halo overhead); env
+# override for tuning sweeps.
+TILE = int(_os.environ.get("RVC_TPU_RESBLOCK_TILE", "1024"))
 
 
 def _conv_taps(w: jax.Array, b: jax.Array | None, k: int, d: int, S: int):
