@@ -63,6 +63,12 @@ class ModelConfig:
     version: str = "v2"
     # f0-conditioned (NSF decoder) or not (plain HiFiGAN decoder).
     use_f0: bool = True
+    # Discriminator-ensemble width multiplier. 1.0 = reference topology
+    # (models.py:1024-1146 channel plan; the only value checkpoints exist
+    # for). Tiny validation configs (mesh dryruns, compile-structure tests)
+    # shrink it so the full 9-discriminator GAN step stays cheap to
+    # compile/execute on a virtual-device CPU mesh.
+    disc_scale: float = 1.0
 
     @property
     def feature_dim(self) -> int:

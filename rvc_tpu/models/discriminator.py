@@ -27,6 +27,11 @@ class Conv2dTorch(_Conv2dBase):
 
 class DiscriminatorS(nn.Module):
     dtype: Any = jnp.float32
+    # width multiplier for tiny validation configs (dryruns/tests): scales
+    # every internal channel count; 1.0 is the reference topology (and the
+    # only value checkpoints exist for). Grouped convs collapse to groups=1
+    # when scaled — group counts don't divide the shrunken widths.
+    scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
@@ -40,12 +45,15 @@ class DiscriminatorS(nn.Module):
             (1024, 1024, 41, 4, 256, 20),
             (1024, 1024, 5, 1, 1, 2),
         ]
+        c = (lambda n: n if n == 1 or self.scale == 1.0
+             else max(1, int(n * self.scale)))
         for i, (ci, co, k, s, g, p) in enumerate(specs):
-            x = Conv1d(ci, co, k, stride=s, groups=g, padding=p,
+            x = Conv1d(c(ci), c(co), k, stride=s,
+                       groups=g if self.scale == 1.0 else 1, padding=p,
                        weight_norm=True, dtype=self.dtype, name=f"convs_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = Conv1d(1024, 1, 3, padding=1, weight_norm=True, dtype=self.dtype,
+        x = Conv1d(c(1024), 1, 3, padding=1, weight_norm=True, dtype=self.dtype,
                    name="conv_post")(x)
         fmap.append(x)
         return x.reshape(x.shape[0], -1), fmap
@@ -56,6 +64,7 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     dtype: Any = jnp.float32
+    scale: float = 1.0  # width multiplier (see DiscriminatorS.scale)
 
     @nn.compact
     def __call__(self, x):
@@ -69,16 +78,18 @@ class DiscriminatorP(nn.Module):
         fmap = []
         chans = [(1, 32), (32, 128), (128, 512), (512, 1024)]
         pad = (self.kernel_size - 1) // 2
+        c = (lambda n: n if n == 1 or self.scale == 1.0
+             else max(1, int(n * self.scale)))
         for i, (ci, co) in enumerate(chans):
-            x = Conv2dTorch(ci, co, (self.kernel_size, 1), (self.stride, 1), (pad, 0),
-                            dtype=self.dtype, name=f"convs_{i}")(x)
+            x = Conv2dTorch(c(ci), c(co), (self.kernel_size, 1), (self.stride, 1),
+                            (pad, 0), dtype=self.dtype, name=f"convs_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = Conv2dTorch(1024, 1024, (self.kernel_size, 1), (1, 1), (pad, 0),
+        x = Conv2dTorch(c(1024), c(1024), (self.kernel_size, 1), (1, 1), (pad, 0),
                         dtype=self.dtype, name="convs_4")(x)
         x = leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = Conv2dTorch(1024, 1, (3, 1), (1, 1), (1, 0), dtype=self.dtype,
+        x = Conv2dTorch(c(1024), 1, (3, 1), (1, 1), (1, 0), dtype=self.dtype,
                         name="conv_post")(x)
         fmap.append(x)
         return x.reshape(x.shape[0], -1), fmap
@@ -93,12 +104,15 @@ class MultiPeriodDiscriminator(nn.Module):
 
     version: str = "v2"
     dtype: Any = jnp.float32
+    scale: float = 1.0  # width multiplier (see DiscriminatorS.scale)
 
     @nn.compact
     def __call__(self, y, y_hat):
         periods = PERIODS_V2 if self.version == "v2" else PERIODS_V1
-        discs = [DiscriminatorS(dtype=self.dtype, name="discriminators_0")] + [
-            DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i + 1}")
+        discs = [DiscriminatorS(dtype=self.dtype, scale=self.scale,
+                                name="discriminators_0")] + [
+            DiscriminatorP(p, dtype=self.dtype, scale=self.scale,
+                           name=f"discriminators_{i + 1}")
             for i, p in enumerate(periods)
         ]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []

@@ -161,10 +161,12 @@ class ResBlock1(nn.Module):
 
             packed = [(*conv(None, return_weights=True), self.kernel_size, d)
                       for conv, d in convs]
-            # no Mosaic on CPU: fall back to the interpreter so a forced
-            # fuse flag stays functional off-accelerator
-            return fused_resblock1(x, packed, S=self.s2d,
-                                   interpret=_jax.default_backend() == "cpu")
+            # Mosaic only exists on TPU: every other backend (cpu, gpu)
+            # falls back to the interpreter so a forced fuse flag stays
+            # functional anywhere
+            return fused_resblock1(
+                x, packed, S=self.s2d,
+                interpret=_jax.default_backend() not in ("tpu", "axon"))
         for i in range(0, len(convs), 2):
             xt = leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:

@@ -67,7 +67,7 @@ def _conv_taps(w: jax.Array, b: jax.Array | None, k: int, d: int, S: int):
     return offs, taps, b, padding
 
 
-def _lrelu(x, slope=0.1):
+def _lrelu(x, slope):
     # max(x, s·x) == leaky_relu for 0 < s < 1; avoids a float compare,
     # which Mosaic cannot lower for packed bf16 vectors
     return jnp.maximum(x, x * slope)
@@ -88,6 +88,14 @@ def _fused_call(x, w_cat, b_cat, *, meta, interpret=False):
     n_tiles = Tpad // TILE
     dtype = x.dtype
     L0 = TILE + SL + HR  # multiple of 8 by construction
+    # The unfused path computes leaky_relu in the compute dtype: for bf16
+    # activations the slope operand is bf16(0.1), and the product of two
+    # bf16-exact values is exact in the f32 carry — so rounding the slope
+    # through bf16 here makes fused == unfused bit-for-bit after the
+    # subsequent astype(dtype).
+    import ml_dtypes
+
+    slope = float(ml_dtypes.bfloat16(0.1)) if dtype == jnp.bfloat16 else 0.1
 
     def kernel(x_hbm, w_ref, b_ref, out_ref, xt, sem):
         bi = pl.program_id(0)
@@ -139,9 +147,9 @@ def _fused_call(x, w_cat, b_cat, *, meta, interpret=False):
             ci_a, ci_b = 2 * p, 2 * p + 1
             n_a, offs_a, lr_a = conv_meta[ci_a]
             n_b, offs_b, lr_b = conv_meta[ci_b]
-            t = conv(_lrelu(h), ci_a, g, row0)
+            t = conv(_lrelu(h, slope), ci_a, g, row0)
             row0 += n_a
-            t = conv(_lrelu(t), ci_b, g + lr_a, row0)
+            t = conv(_lrelu(t, slope), ci_b, g + lr_a, row0)
             row0 += n_b
             # realign h to t's frame before the residual add
             h = rnd(pltpu.roll(h, L0 - (lr_a + lr_b), axis=0) + t)
@@ -198,6 +206,13 @@ def fused_resblock1(
         (len(offs), tuple(offs), lr) for (offs, _, _, lr) in built)
     SL = sum(m[2] for m in conv_meta)  # total left reach of the chain
     SR = sum(m[1][-1] for m in conv_meta) - SL  # total right reach
+    # guard the env-tunable tile size: a non-multiple-of-8 TILE breaks the
+    # 8-aligned L0 Mosaic assumption, and TILE ≤ SL+SR makes the per-step
+    # halo DMA read past the padded buffer
+    if TILE % 8 != 0 or TILE <= SL + SR:
+        raise ValueError(
+            f"RVC_TPU_RESBLOCK_TILE={TILE} invalid: must be a multiple of 8 "
+            f"and > the chain's total halo reach ({SL + SR} frames here)")
     # right halo rounded so the kernel buffer TILE+SL+HR is 8-aligned
     # (Mosaic sublane tiling)
     HR = SR + (-(TILE + SL + SR)) % 8

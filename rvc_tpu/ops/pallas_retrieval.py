@@ -232,3 +232,29 @@ def blend_into_q(feats: jax.Array, bank_q: jax.Array, scales: jax.Array,
     nearest = nearest_rows_q(flat, bank_q, scales, interpret=interpret).reshape(B, T, D)
     return (index_rate * nearest + (1.0 - index_rate) * feats.astype(jnp.float32)
             ).astype(feats.dtype)
+
+
+def blend_into_q_sharded(feats: jax.Array, bank_q: jax.Array,
+                         scales: jax.Array, index_rate, mesh,
+                         axis: str = "dp",
+                         interpret: bool = False) -> jax.Array:
+    """blend_into_q under a device mesh: the chunk batch (dim 0 of feats)
+    shards over ``axis``; the bank replicates. Retrieval is embarrassingly
+    parallel over queries — each chip streams the full bank against its
+    local chunks, zero collectives — but the Pallas custom call has no
+    GSPMD partitioning rule, so without this shard_map wrapper the SPMD
+    partitioner would all-gather the batch and run the kernel replicated.
+    (Reference faiss search is a host-side serial loop,
+    vc_infer_pipeline.py:60-75; there is no multi-GPU retrieval to match.)
+    """
+    from jax.sharding import PartitionSpec as P
+
+    fn = functools.partial(blend_into_q, interpret=interpret)
+    spec = P(axis, None, None)
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, so the (new-default) vma checker rejects it
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec, P(), P(), P()),
+        out_specs=spec, check_vma=False,
+    )(feats, bank_q, scales, index_rate)

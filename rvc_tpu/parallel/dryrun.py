@@ -47,6 +47,10 @@ def tiny_config():
             resblock_dilation_sizes=((1, 3),), upsample_rates=(8, 4, 2),
             upsample_initial_channel=16, upsample_kernel_sizes=(16, 8, 4),
             gin_channels=8, spk_embed_dim=2, version="v2", use_f0=True,
+            # all 9 discriminators at 1/16 width: the full-width ensemble's
+            # EXECUTION alone measured 128 s on a 1-core 8-virtual-device
+            # host — the round-3 driver-timeout culprit alongside compiles
+            disc_scale=1.0 / 16.0,
         ),
         train=TrainConfig(batch_size=8, segment_size=640, c_hd=0.0, c_tsi=0.0,
                           c_tefs=0.0),
@@ -54,15 +58,26 @@ def tiny_config():
 
 
 def run_dryrun(n_devices: int) -> None:
+    import time
+
     import jax
     import jax.numpy as jnp
 
     from ..train.step import Trainer
     from .mesh import make_mesh, shard_batch, replicate
 
+    t_start = time.perf_counter()
+
+    def stage(msg):
+        # flushed per-stage breadcrumbs: a partial (timed-out) run must be
+        # diagnosable from the driver's captured tail alone
+        print(f"[dryrun +{time.perf_counter() - t_start:.0f}s] {msg}",
+              flush=True)
+
     devices = jax.devices()
     assert len(devices) >= n_devices, f"need {n_devices} devices, have {len(devices)}"
     mesh = make_mesh(n_devices, devices)
+    stage(f"stage 1/3: dp train step over {n_devices} devices — compiling")
 
     cfg = tiny_config()
     # ModelConfig.feature_dim is derived from version; tiny batch uses 16 dims,
@@ -71,7 +86,7 @@ def run_dryrun(n_devices: int) -> None:
     object.__setattr__(trainer.synth, "feature_dim", 16)
 
     batch = make_tiny_batch(n_devices * 2)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, fast_params=True)
 
     state = replicate(mesh, state)
     batch = shard_batch(mesh, batch)
@@ -87,12 +102,15 @@ def run_dryrun(n_devices: int) -> None:
     assert int(new_state.step) == 1
     print(f"dryrun_multichip OK on {n_devices} devices; "
           f"loss_gen_all={float(metrics['loss_gen_all']):.3f} "
-          f"loss_disc={float(metrics['loss_disc']):.3f}")
+          f"loss_disc={float(metrics['loss_disc']):.3f}", flush=True)
 
     if n_devices >= 4:
+        stage("stage 2/3: dp×tp (2×2) train step — compiling")
         _dryrun_dp_tp(trainer, make_tiny_batch(n_devices * 2), metrics)
 
+    stage("stage 3/3: dp-sharded batch inference (retrieval ON) — compiling")
     _dryrun_inference(n_devices)
+    stage("all stages OK")
 
 
 def _dryrun_inference(n_devices: int) -> None:
@@ -127,8 +145,13 @@ def _dryrun_inference(n_devices: int) -> None:
                        num_attention_heads=2, intermediate_size=64,
                        conv_dim=(32,) * 7, num_conv_pos_embeddings=16,
                        num_conv_pos_embedding_groups=4)
+    # retrieval ON (the shipping configuration, reference default
+    # index_rate=0.75, vc_infer_pipeline.py:60-75): a small int8 bank rides
+    # the fused dispatch so the retrieval blend is validated under GSPMD
+    # alongside the models — round 3 ran index_rate=0.0 here, leaving the
+    # flagship multi-chip claim validating a retrieval-less mode.
     vc = make_random_converter(seed=0, hubert_cfg=hub, with_rmvpe=False,
-                               config=cfg, feature_dim=32)
+                               config=cfg, feature_dim=32, index_rows=512)
     vc.mesh = make_mesh(n_devices, jax.devices())
 
     rng = np.random.default_rng(0)
@@ -137,7 +160,7 @@ def _dryrun_inference(n_devices: int) -> None:
          + 0.01 * rng.standard_normal(16000 * sec)).astype(np.float32)
         for sec in (8, 4)
     ]
-    s = ConvertSettings(f0_method="pm", index_rate=0.0, rms_mix_rate=1.0)
+    s = ConvertSettings(f0_method="pm", index_rate=0.75, rms_mix_rate=1.0)
     with vc.mesh:
         outs = vc.convert_batch(songs, settings=s)
     for (wav, sr), src in zip(outs, songs):
@@ -147,8 +170,9 @@ def _dryrun_inference(n_devices: int) -> None:
         assert int(np.abs(wav.astype(np.int32)).max()) > 0
     print(f"inference dryrun OK on {n_devices} devices; "
           f"{len(songs)} songs in one dp-sharded dispatch, "
+          f"retrieval ON (index_rate={s.index_rate}, int8 bank), "
           f"outputs {[len(w) for w, _ in outs]} samples @ "
-          f"{outs[0][1]} Hz")
+          f"{outs[0][1]} Hz", flush=True)
 
 
 def _dryrun_dp_tp(trainer, batch, ref_metrics) -> None:
@@ -163,7 +187,7 @@ def _dryrun_dp_tp(trainer, batch, ref_metrics) -> None:
     from .mesh import make_mesh_2d, shard_batch, shard_params_tp
 
     mesh2 = make_mesh_2d(2, 2, jax.devices())
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, fast_params=True)
     state = shard_params_tp(mesh2, state)
     batch = shard_batch(mesh2, batch)
     step = trainer.step_fn()

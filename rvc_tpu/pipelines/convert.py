@@ -265,6 +265,7 @@ class VoiceConverter:
     def _make_core_fn(self, use_index: bool, use_f0: bool, protect_on: bool):
         synth, hubert = self.synth, self.hubert
         version = self.version
+        mesh = self.mesh
 
         def core(synth_params, hubert_params, bank, chunks, lengths, pitch, pitchf,
                  sid, index_rate, protect, key):
@@ -279,7 +280,13 @@ class VoiceConverter:
                     # streaming Pallas kernel: O(T·D) memory, bank stays tiled
                     from ..ops import pallas_retrieval as _pr
 
-                    if is_q:
+                    if is_q and mesh is not None:
+                        # dp mesh: shard the query batch, replicate the bank
+                        # (shard_map — the kernel has no GSPMD rule)
+                        feats = _pr.blend_into_q_sharded(
+                            feats, bank[0], bank[1],
+                            jnp.float32(index_rate), mesh).astype(feats.dtype)
+                    elif is_q:
                         feats = _pr.blend_into_q(
                             feats, bank[0], bank[1], index_rate).astype(feats.dtype)
                     else:

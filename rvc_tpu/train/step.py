@@ -75,7 +75,9 @@ class Trainer:
         self.synth = Synthesizer.from_config(
             config.model, config.data, config.train.segment_size, dtype=dtype
         )
-        self.disc = MultiPeriodDiscriminator(version=config.model.version, dtype=dtype)
+        self.disc = MultiPeriodDiscriminator(
+            version=config.model.version, dtype=dtype,
+            scale=config.model.disc_scale)
         self.msml = None  # optional MultiScaleMelLoss, set via use_multiscale()
         self.seg_frames = config.train.segment_size // config.data.hop_length
         self._step_fn = None
@@ -85,17 +87,32 @@ class Trainer:
         self.msml = L.MultiScaleMelLoss(self.config.data.sampling_rate, **kwargs)
 
     # -- init ----------------------------------------------------------------
-    def init_state(self, rng: jax.Array, batch: dict, steps_per_epoch: int = 100) -> TrainState:
+    def init_state(self, rng: jax.Array, batch: dict, steps_per_epoch: int = 100,
+                   fast_params: bool = False) -> TrainState:
+        """``fast_params``: materialize random params from eval_shape instead
+        of compiling+running the init graphs (utils.fastinit) — init compile
+        dominates wall time on 1-core hosts; dryruns/structure tests only
+        need *some* finite params, not the init distribution."""
+        import functools
+
         t = self.config.train
         kg, kd, kn = jax.random.split(rng, 3)
-        params_g = self.synth.init(
-            {"params": kg, "noise": kn},
+        g_init = functools.partial(
+            self.synth.init, {"params": kg, "noise": kn},
             batch["phone"], batch["phone_lengths"],
             batch.get("pitch"), batch.get("pitchf"),
             batch["spec"], batch["spec_lengths"], batch["sid"],
         )
         seg = jnp.zeros((batch["wave"].shape[0], t.segment_size, 1), self.dtype)
-        params_d = self.disc.init(kd, seg, seg)
+        d_init = functools.partial(self.disc.init, kd, seg, seg)
+        if fast_params:
+            from ..utils.fastinit import fast_init
+
+            params_g = fast_init(g_init, seed=0)
+            params_d = fast_init(d_init, seed=1)
+        else:
+            params_g = g_init()
+            params_d = d_init()
         self.sched_g = lr_schedule(t.learning_rate, t.lr_decay, steps_per_epoch)
         self.sched_d = lr_schedule(t.learning_rate, t.lr_decay, steps_per_epoch)
         self.tx_g = make_optimizer(self.sched_g, t.betas, t.eps)

@@ -213,6 +213,39 @@ def test_convert_batch_multi_song(converter):
         assert np.abs(b).max() > 0
 
 
+def test_convert_batch_retrieval_under_mesh(converter, rng):
+    """Retrieval ON (int8 bank, index_rate=0.75) under an 8-device dp mesh
+    must match the single-device path — the shipping configuration and the
+    multi-chip story coinciding (round 3 only ever validated the mesh path
+    with retrieval off). 8 one-chunk songs → the chunk batch is already a
+    multiple of the mesh size, so both runs see the IDENTICAL chunk batch
+    (same noise rows, same quantization peak)."""
+    from rvc_tpu.ops.pallas_retrieval import quantize_bank
+    from rvc_tpu.parallel.mesh import make_mesh
+
+    songs = [_test_signal(1.5) * (0.5 + 0.05 * i) for i in range(8)]
+    bank = rng.standard_normal((64, 32)).astype(np.float32)
+    converter.index_bank = quantize_bank(bank)
+    s = ConvertSettings(f0_method="pm", index_rate=0.75, protect=0.2)
+    try:
+        outs_single = converter.convert_batch(songs, settings=s)
+        converter.mesh = make_mesh(8)
+        # the core cache is keyed without the mesh: drop the unsharded core
+        converter._core_cache.clear()
+        with converter.mesh:
+            outs_mesh = converter.convert_batch(songs, settings=s)
+    finally:
+        converter.mesh = None
+        converter._core_cache.clear()
+        converter.index_bank = None
+    for (a, sr_a), (b, sr_b) in zip(outs_single, outs_mesh):
+        assert sr_a == sr_b
+        n = min(len(a), len(b))
+        af, bf = a[:n].astype(np.float64), b[:n].astype(np.float64)
+        resid = np.linalg.norm(af - bf) / max(np.linalg.norm(bf), 1e-9)
+        assert resid < 1e-3, resid
+
+
 @pytest.mark.slow
 def test_convert_batch_dp_sharded():
     """Batch-of-songs over an 8-device dp mesh (multi-chip throughput

@@ -41,6 +41,45 @@ def test_fused_matches_unfused(C, S, k, rng):
                                atol=2e-5, rtol=1e-5)
 
 
+def test_fused_matches_unfused_bf16(rng):
+    """bf16 activations: the kernel carries f32 but rounds every conv input
+    and output through bf16, and the leaky-relu slope is rounded to
+    bf16(0.1) to match the unfused path's weak-typed promotion — fused and
+    unfused must agree to bf16 resolution."""
+    C, S, k = 32, 4, 3
+    dilation = (1, 3, 5)
+    rb = ResBlock1(C, k, dilation, s2d=S, dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        rng.standard_normal((1, 208, S * C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    params = rb.init(jax.random.PRNGKey(0), x)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    ref = rb.apply(params, x)
+    convs = _convs_from_params(params, k, dilation)
+    got = fused_resblock1(x, convs, S=S, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.05, rtol=0.05)
+
+
+def test_resblock_tile_env_validated(monkeypatch, rng):
+    """A bad RVC_TPU_RESBLOCK_TILE must fail loudly, not DMA out of bounds."""
+    import rvc_tpu.ops.pallas_resblock as prb
+
+    C, S, k = 32, 4, 3
+    rb = ResBlock1(C, k, (1, 3, 5), s2d=S)
+    x = jnp.asarray(rng.standard_normal((1, 40, S * C)).astype(np.float32))
+    params = rb.init(jax.random.PRNGKey(0), x)
+    convs = _convs_from_params(params, k, (1, 3, 5))
+    monkeypatch.setattr(prb, "TILE", 12)  # not a multiple of 8
+    with pytest.raises(ValueError, match="RVC_TPU_RESBLOCK_TILE"):
+        prb.fused_resblock1(x, convs, S=S, interpret=True)
+    monkeypatch.setattr(prb, "TILE", 8)  # ≤ halo reach for this chain
+    with pytest.raises(ValueError, match="RVC_TPU_RESBLOCK_TILE"):
+        prb.fused_resblock1(x, convs, S=S, interpret=True)
+
+
 def test_fused_flag_param_tree_identical(rng):
     """fuse=True must not change the parameter tree (checkpoint layout)."""
     x = jnp.zeros((1, 64, 128), jnp.float32)

@@ -3,6 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rvc_tpu.ops.pallas_retrieval import (
+    TN,
     blend_into,
     blend_into_q,
     nearest_rows,
@@ -22,8 +23,12 @@ def test_nearest_rows_interpret(rng):
 
 
 def test_nearest_rows_multi_tile_banks(rng):
-    """Bank spanning several TN tiles: the running-min scratch must carry."""
-    T, D, N = 3, 8, 700  # > 2 bank tiles of 256
+    """Bank spanning several TN tiles: the running-min scratch must carry.
+
+    N is derived from TN so a tile-size bump can never silently shrink
+    this back to a single-tile bank (it did once: TN 256→2048 left the
+    old N=700 covering one tile)."""
+    T, D, N = 3, 8, 2 * TN + 700  # > 2 bank tiles, non-multiple remainder
     feats = rng.standard_normal((T, D)).astype(np.float32)
     bank = rng.standard_normal((N, D)).astype(np.float32)
     out = np.asarray(nearest_rows(jnp.asarray(feats), jnp.asarray(bank), interpret=True))
@@ -45,7 +50,7 @@ def test_quantize_bank_roundtrip(rng):
 def test_nearest_rows_q_interpret(rng):
     """int8-bank search returns the dequantized argmin row (vs int8-bank
     brute force — the quantization is the bank's, not the kernel's)."""
-    T, D, N = 7, 16, 700  # spans >2 bank tiles: running-min must carry
+    T, D, N = 7, 16, 2 * TN + 700  # spans >2 bank tiles: running-min must carry
     feats = rng.standard_normal((T, D)).astype(np.float32)
     bank = rng.standard_normal((N, D)).astype(np.float32)
     q, scale = quantize_bank(bank)
@@ -69,6 +74,31 @@ def test_blend_into_q_matches_fp32(rng):
     out_f = np.asarray(blend_into(jnp.asarray(feats), jnp.asarray(bank), 0.75,
                                   interpret=True))
     assert np.max(np.abs(out_q - out_f)) < 0.05  # ≤ one int8 step of the bank
+
+
+def test_blend_into_q_sharded_matches_single(rng):
+    """The shard_map wrapper (chunk batch dp-sharded over an 8-device mesh,
+    bank replicated) must return exactly the single-device result — the
+    kernel is embarrassingly parallel over query rows. This is the sharding
+    layout the real multi-chip serving path uses (convert.py core); on CPU
+    the kernel runs in interpreter mode, on TPU the identical shard_map
+    traces the Mosaic kernel."""
+    import jax.numpy as jnp
+
+    from rvc_tpu.ops.pallas_retrieval import blend_into_q_sharded
+    from rvc_tpu.parallel.mesh import make_mesh
+
+    B, T, D, N = 8, 5, 16, 40
+    feats = rng.standard_normal((B, T, D)).astype(np.float32)
+    bank = rng.standard_normal((N, D)).astype(np.float32)
+    q, scale = quantize_bank(bank)
+    mesh = make_mesh(8)
+    out_sharded = np.asarray(blend_into_q_sharded(
+        jnp.asarray(feats), q, scale, jnp.float32(0.75), mesh,
+        interpret=True))
+    out_single = np.asarray(blend_into_q(jnp.asarray(feats), q, scale, 0.75,
+                                         interpret=True))
+    np.testing.assert_array_equal(out_sharded, out_single)
 
 
 def test_blend_into_interpret(rng):
