@@ -147,6 +147,39 @@ def main():
         detail["mfu_pct_lower_bound"] = round(
             100.0 * stats["flops"] / (stats["dispatch_s"] * 197e12), 2)
 
+    # --- saturation sweep: where does per-chip aggregate RTF stop scaling
+    # with batch size? N=8 above was chosen, not derived; this is the
+    # per-chip capacity number a deployment plans around (HBM limit for
+    # bank + activations). Disable with RVC_BENCH_SWEEP=0 for quick runs.
+    if os.environ.get("RVC_BENCH_SWEEP", "1") != "0":
+        sweep = {}
+        for n in (4, 8, 16, 32):
+            if n == n_songs:  # already measured above with more reps
+                sweep[str(n)] = {
+                    "agg_rtf_best": detail["throughput_agg_rtf_best"],
+                    "dispatch_s": detail.get("throughput_dispatch_s"),
+                    "mfu_pct": detail.get("mfu_pct_lower_bound"),
+                }
+                continue
+            songs_n = [load_speech(song_s, offset_s=1.5 * i) for i in range(n)]
+            st: dict = {}
+            vc.convert_batch(songs_n, settings=settings, stats=st)  # warm
+            best_wall, best_disp = float("inf"), float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                vc.convert_batch(songs_n, settings=settings, stats=st)
+                best_wall = min(best_wall, time.perf_counter() - t0)
+                best_disp = min(best_disp, st.get("dispatch_s", float("inf")))
+            entry = {"agg_rtf_best": round(n * song_s / best_wall, 1),
+                     "dispatch_s": round(best_disp, 3)}
+            if "flops" in st and on_tpu and best_disp > 0:
+                entry["mfu_pct"] = round(
+                    100.0 * st["flops"] / (best_disp * 197e12), 2)
+            sweep[str(n)] = entry
+        detail["throughput_sweep"] = sweep
+        knee = max(sweep, key=lambda k: sweep[k]["agg_rtf_best"] or 0)
+        detail["throughput_knee_songs"] = int(knee)
+
     print(json.dumps({
         "metric": "rtf_48k_rvc_v2_convert_per_chip",
         "value": round(worst_best, 2),

@@ -6,12 +6,16 @@ Covers the reference FeatureExtractor (pitch_extraction.py:13-304):
   * crepe / crepe-tiny / mangio-crepe / mangio-crepe-tiny — CREPE CNN
     (device); the mangio variants use a caller-set hop and nan-interp
     resize like the reference (:76-119);
-  * pm / dio / harvest — TPU-native windowed-autocorrelation estimators
-    (Wiener-Khinchin ACF via the DFT-matmul STFT, peak-picked with
-    parabolic interpolation). These replace the parselmouth/pyworld C
-    extensions with one MXU-friendly kernel; classic quality tweaks are
-    kept: 'harvest' gets median smoothing (filter_radius, reference
-    :234-236), 'dio' a coarser candidate grid.
+  * pm — TPU-native windowed-autocorrelation estimator (Wiener-Khinchin
+    ACF via the DFT-matmul STFT, parabolic peak refinement, praat-style
+    octave cost). Faithful algorithm family: parselmouth's to_pitch_ac
+    (reference :155-160) IS Boersma's autocorrelation method.
+  * dio / harvest — WORLD candidate-grid algorithms (pitch/world.py:
+    Nuttall filter-bank band decomposition, four event-interval period
+    estimators per band, deviation-scored candidate selection; harvest
+    adds a denser grid + temporal-continuity Viterbi), then stonemask
+    spectral refinement — the reference pipeline pw.dio/pw.harvest →
+    pw.stonemask (:168-188) without the pyworld C extension.
   * hybrid — any list of methods merged with a nan-aware reducer
     (median/mean/min/max) after length-padding (reference :205-248).
 
@@ -288,15 +292,22 @@ class PitchExtractor:
         return acf_pitch(audio, f0_min=f0_min, f0_max=f0_max, voicing_threshold=0.45)
 
     def _dio(self, audio, f0_min, f0_max, **kw):
-        # pyworld pipeline shape: coarse candidates → stonemask refinement
-        # (reference pitch_extraction.py:168-177 always refines dio)
-        f0 = acf_pitch(audio, f0_min=f0_min, f0_max=f0_max, frame_length=512,
-                       voicing_threshold=0.35)
+        # WORLD candidate-grid algorithm (pitch/world.py) + stonemask,
+        # matching the reference pipeline pw.dio → pw.stonemask
+        # (pitch_extraction.py:179-188)
+        from .world import dio as world_dio
+
+        f0 = world_dio(audio, f0_floor=f0_min, f0_ceil=f0_max)
         return stonemask_refine(audio, f0)
 
     def _harvest(self, audio, f0_min, f0_max, filter_radius=3, **kw):
-        f0 = acf_pitch(audio, f0_min=f0_min, f0_max=f0_max, frame_length=2048,
-                       voicing_threshold=0.3)
+        # WORLD harvest (denser candidate grid + continuity selection) +
+        # stonemask (reference pitch_extraction.py:168-177). The optional
+        # median pass (filter_radius > 2) is an extension the reference
+        # exposes through the same signature for its other methods.
+        from .world import harvest as world_harvest
+
+        f0 = world_harvest(audio, f0_floor=f0_min, f0_ceil=f0_max)
         f0 = stonemask_refine(audio, f0)
         return _median_filter(f0, filter_radius if filter_radius > 2 else 0)
 
