@@ -115,12 +115,17 @@ class MultiPeriodDiscriminator(nn.Module):
                            name=f"discriminators_{i + 1}")
             for i, p in enumerate(periods)
         ]
+        # real and fake ride ONE batched pass per sub-discriminator (convs
+        # and leaky-relus are per-sample, so this is numerically identical
+        # to two passes) — the train step is kernel-count-bound on TPU and
+        # this halves the ensemble's ~300 conv launches per direction
+        B = y.shape[0]
+        both = jnp.concatenate([y, y_hat], axis=0)
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for d in discs:
-            r, fr = d(y)
-            g, fg = d(y_hat)
-            y_d_rs.append(r)
-            y_d_gs.append(g)
-            fmap_rs.append(fr)
-            fmap_gs.append(fg)
+            rg, frg = d(both)
+            y_d_rs.append(rg[:B])
+            y_d_gs.append(rg[B:])
+            fmap_rs.append([m[:B] for m in frg])
+            fmap_gs.append([m[B:] for m in frg])
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs

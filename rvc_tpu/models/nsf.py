@@ -155,16 +155,19 @@ class ResBlock1(nn.Module):
         if self.fuse and x_mask is None:
             # whole chain in ONE kernel: 2 HBM transfers instead of 24
             # (ops/pallas_resblock). Param tree identical to the path below.
+            # The train variant carries a custom VJP (recompute-in-VMEM
+            # backward kernel) so the same path serves inference AND
+            # training; its primal is bit-identical to the inference kernel.
             import jax as _jax
 
-            from ..ops.pallas_resblock import fused_resblock1
+            from ..ops.pallas_resblock import fused_resblock1_train
 
             packed = [(*conv(None, return_weights=True), self.kernel_size, d)
                       for conv, d in convs]
             # Mosaic only exists on TPU: every other backend (cpu, gpu)
             # falls back to the interpreter so a forced fuse flag stays
             # functional anywhere
-            return fused_resblock1(
+            return fused_resblock1_train(
                 x, packed, S=self.s2d,
                 interpret=_jax.default_backend() not in ("tpu", "axon"))
         for i in range(0, len(convs), 2):
@@ -250,11 +253,18 @@ class GeneratorNSF(nn.Module):
         n_rates = len(self.upsample_rates)
         num_kernels = len(self.resblock_kernel_sizes)
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            c_in = self.upsample_initial_channel // (2**i)
             c_cur = self.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x, LRELU_SLOPE)
+            # small-channel upsample stages s2d-pack their input so the
+            # subpixel conv fills the MXU lanes (layers.ConvTranspose1d)
+            S_up = 128 // c_in if (128 % c_in == 0 and c_in < 128) else 1
+            if S_up > 1 and x.shape[1] % S_up:
+                S_up = 1
             x = ConvTranspose1d(
-                self.upsample_initial_channel // (2**i), c_cur, k, stride=u,
-                padding=(k - u) // 2, weight_norm=True, dtype=self.dtype, name=f"ups_{i}",
+                c_in, c_cur, k, stride=u,
+                padding=(k - u) // 2, weight_norm=True, s2d=S_up,
+                dtype=self.dtype, name=f"ups_{i}",
             )(x)
             if i + 1 < n_rates:
                 stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
@@ -325,11 +335,16 @@ class Generator(nn.Module):
         rb_cls = ResBlock1 if self.resblock == "1" else ResBlock2
         num_kernels = len(self.resblock_kernel_sizes)
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            c_in = self.upsample_initial_channel // (2**i)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x, LRELU_SLOPE)
+            S_up = 128 // c_in if (128 % c_in == 0 and c_in < 128) else 1
+            if S_up > 1 and x.shape[1] % S_up:
+                S_up = 1
             x = ConvTranspose1d(
-                self.upsample_initial_channel // (2**i), ch, k, stride=u,
-                padding=(k - u) // 2, weight_norm=True, dtype=self.dtype, name=f"ups_{i}",
+                c_in, ch, k, stride=u,
+                padding=(k - u) // 2, weight_norm=True, s2d=S_up,
+                dtype=self.dtype, name=f"ups_{i}",
             )(x)
             S = 128 // ch if (128 % ch == 0 and ch < 128) else 1
             if S > 1 and x.shape[1] % S:

@@ -139,7 +139,7 @@ class Synthesizer(nn.Module):
 
     @classmethod
     def from_config(cls, model: ModelConfig, data: DataConfig, segment_size: int,
-                    dtype=jnp.float32) -> "Synthesizer":
+                    dtype=jnp.float32, fuse_resblocks: bool = False) -> "Synthesizer":
         return cls(
             spec_channels=data.spec_channels,
             segment_size=segment_size // data.hop_length,
@@ -161,6 +161,7 @@ class Synthesizer(nn.Module):
             sr=data.sampling_rate,
             feature_dim=model.feature_dim,
             use_f0=model.use_f0,
+            fuse_resblocks=fuse_resblocks,
             dtype=dtype,
         )
 

@@ -186,6 +186,318 @@ def _fused_call(x, w_cat, b_cat, *, meta, interpret=False):
     )(x, w_cat, b_cat)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernel (training): recompute-in-VMEM chain VJP
+# ---------------------------------------------------------------------------
+#
+# Why a hand-written backward: the train step is KERNEL-COUNT bound, not
+# FLOP bound (measured r4: ~7.4k fused kernels × ~12 µs launch ≈ the whole
+# 89 ms step; batch 4 → 8 leaves step time unchanged). XLA's vjp of the
+# unfused chain emits ~40 kernels per resblock per direction; this kernel
+# re-runs the 6-conv chain per tile inside VMEM (activations never touch
+# HBM), then walks it backward — dx, all 6 dW and db in ONE launch.
+#
+# Tile-local correctness: each grid step owns final-output rows
+# [ti·TILE, ti·TILE+TILE); the incoming cotangent is masked to ownership,
+# so per-tile dW/db contributions sum exactly (loss = Σ_tiles loss_tile)
+# and dx contributions are disjoint-by-construction per owned set — slabs
+# overlap-add outside. Buffers are L0b = TILE + 2·(SL+SR) so circular-roll
+# wrap garbage never reaches rows with nonzero cotangent (single-conv
+# reach ≤ total chain reach).
+
+
+def _lrelu_grad(x, slope):
+    return jnp.where(x > 0, 1.0, slope)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _fused_bwd_call(xp, dyp, w_cat, b_cat, *, meta, interpret=False):
+    """xp: (B, Tpad_b, CL) padded input (f32); dyp: (B, Tpad, CL)
+    cotangent of the chain output (Tpad = n_tiles·TILE); w_cat: packed taps
+    (total_taps, CL, CL); b_cat: (8, CL) packed biases. Returns
+    (dx_slab (B, n_tiles, L0b, CL) f32, dW (total_taps, CL, CL) f32,
+    db (8, CL) f32)."""
+    conv_meta, T, SL, SR, slope = meta
+    B, Tpad_b, CL = xp.shape
+    HALO = SL + SR
+    L0b = TILE + 2 * HALO + (-(TILE + 2 * HALO)) % 8
+    n_tiles = (Tpad_b - (L0b - TILE)) // TILE
+    total_taps = sum(m[0] for m in conv_meta)
+    # g (frame shift) at each pair start, static
+    g_pairs = []
+    g = 0
+    for p in range(3):
+        g_pairs.append(g)
+        g += conv_meta[2 * p][2] + conv_meta[2 * p + 1][2]
+
+    def kernel(x_hbm, dy_hbm, w_ref, b_ref, dx_ref, dw_ref, db_ref, xt, dyt,
+               sem, sem2):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ti * TILE, L0b), :], xt, sem)
+        cp.start()
+        cp2 = pltpu.make_async_copy(
+            dy_hbm.at[bi, pl.ds(ti * TILE, TILE), :], dyt, sem2)
+        cp2.start()
+        cp.wait()
+        cp2.wait()
+
+        tile_org = ti * TILE
+
+        @pl.when((bi == 0) & (ti == 0))
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        def keep_for(g_arg, lr):
+            pos = jax.lax.broadcasted_iota(jnp.int32, (L0b, 1), 0) + (
+                g_arg + lr + tile_org - SL)
+            return ((pos >= 0) & (pos < T)).astype(jnp.float32)
+
+        def conv_fwd(buf, ci, g_arg, row0):
+            n, offs, lr = conv_meta[ci]
+            acc = None
+            for j in range(n):
+                shifted = buf if offs[j] == 0 else pltpu.roll(
+                    buf, L0b - offs[j], axis=0)
+                contrib = jnp.dot(shifted, w_ref[row0 + j],
+                                  preferred_element_type=jnp.float32)
+                acc = contrib if acc is None else acc + contrib
+            # bias INCLUDED: it shifts the pre-activations, which moves the
+            # leaky-relu kinks the backward pass differentiates through
+            acc = acc + b_ref[ci, :][None, :]
+            return acc * keep_for(g_arg, lr)
+
+        # ---- forward recompute, storing pair inputs h_p and conv-a
+        # outputs c1_p (post-mask, pre-lrelu of conv-b's input)
+        h = xt[:].astype(jnp.float32)
+        hs, c1s = [], []
+        row0 = 0
+        row0s = []
+        for p in range(3):
+            ci_a, ci_b = 2 * p, 2 * p + 1
+            n_a, offs_a, lr_a = conv_meta[ci_a]
+            n_b, offs_b, lr_b = conv_meta[ci_b]
+            hs.append(h)
+            row0s.append(row0)
+            c1 = conv_fwd(_lrelu(h, slope), ci_a, g_pairs[p], row0)
+            c1s.append(c1)
+            row0 += n_a
+            t2 = conv_fwd(_lrelu(c1, slope), ci_b, g_pairs[p] + lr_a, row0)
+            row0 += n_b
+            h = pltpu.roll(h, L0b - (lr_a + lr_b), axis=0) + t2
+
+        # ---- ownership mask on the incoming cotangent
+        row = jax.lax.broadcasted_iota(jnp.int32, (L0b, 1), 0)
+        own = ((row < TILE) & (row + tile_org < T)).astype(jnp.float32)
+        dF = jnp.pad(dyt[:].astype(jnp.float32),
+                     ((0, L0b - TILE), (0, 0))) * own
+
+        # ---- backward through the three pairs
+        for p in range(2, -1, -1):
+            ci_a, ci_b = 2 * p, 2 * p + 1
+            n_a, offs_a, lr_a = conv_meta[ci_a]
+            n_b, offs_b, lr_b = conv_meta[ci_b]
+            s_p = lr_a + lr_b
+            h_p, c1 = hs[p], c1s[p]
+            u1 = _lrelu(h_p, slope)
+            u2 = _lrelu(c1, slope)
+            d_h_res = pltpu.roll(dF, s_p, axis=0)
+            d_c2pre = dF * keep_for(g_pairs[p] + lr_a, lr_b)
+            # conv-b weight/bias grads + input cotangent
+            row0_b = row0s[p] + n_a
+            d_u2 = None
+            for j in range(n_b):
+                shifted_u2 = u2 if offs_b[j] == 0 else pltpu.roll(
+                    u2, L0b - offs_b[j], axis=0)
+                dw_ref[row0_b + j] += jax.lax.dot_general(
+                    shifted_u2, d_c2pre,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                back = d_c2pre if offs_b[j] == 0 else pltpu.roll(
+                    d_c2pre, offs_b[j], axis=0)
+                contrib = jax.lax.dot_general(
+                    back, w_ref[row0_b + j],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d_u2 = contrib if d_u2 is None else d_u2 + contrib
+            db_ref[ci_b, :] += jnp.sum(d_c2pre, axis=0)
+            d_c1 = d_u2 * _lrelu_grad(c1, slope)
+            d_c1pre = d_c1 * keep_for(g_pairs[p], lr_a)
+            row0_a = row0s[p]
+            d_u1 = None
+            for j in range(n_a):
+                shifted_u1 = u1 if offs_a[j] == 0 else pltpu.roll(
+                    u1, L0b - offs_a[j], axis=0)
+                dw_ref[row0_a + j] += jax.lax.dot_general(
+                    shifted_u1, d_c1pre,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                back = d_c1pre if offs_a[j] == 0 else pltpu.roll(
+                    d_c1pre, offs_a[j], axis=0)
+                contrib = jax.lax.dot_general(
+                    back, w_ref[row0_a + j],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d_u1 = contrib if d_u1 is None else d_u1 + contrib
+            db_ref[ci_a, :] += jnp.sum(d_c1pre, axis=0)
+            dF = d_h_res + d_u1 * _lrelu_grad(h_p, slope)
+
+        # guard rows can hold roll garbage; dx support is [0, TILE + HALO)
+        guard = (row < TILE + HALO).astype(jnp.float32)
+        dx_ref[0, 0] = dF * guard
+
+    dx_slab, dW, db = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, L0b, CL), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((total_taps, CL, CL), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CL), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_tiles, L0b, CL), jnp.float32),
+            jax.ShapeDtypeStruct((total_taps, CL, CL), jnp.float32),
+            jax.ShapeDtypeStruct((8, CL), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L0b, CL), xp.dtype),
+            pltpu.VMEM((TILE, CL), dyp.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, dyp, w_cat, b_cat)
+    return dx_slab, dW, db
+
+
+def _fused_resblock1_bwd(x, gy, ws, bs, spec, S, interpret):
+    """Host-side VJP assembly: pad, run the backward kernel, overlap-add
+    the dx slabs, and pull dW back through the (linear) tap transforms to
+    the original (O, I, k) torch-layout weights."""
+    B, T, CL = x.shape
+    convs = [(w, b, k, d) for (w, b), (k, d) in zip(zip(ws, bs), spec)]
+    built = [_conv_taps(w, b, k, d, S) for (w, b, k, d) in convs]
+    conv_meta = tuple(
+        (len(offs), tuple(offs), lr) for (offs, _, _, lr) in built)
+    SL = sum(m[2] for m in conv_meta)
+    SR = sum(m[1][-1] for m in conv_meta) - SL
+    HALO = SL + SR
+    L0b = TILE + 2 * HALO + (-(TILE + 2 * HALO)) % 8
+    slope = float(__import__("ml_dtypes").bfloat16(0.1)) \
+        if x.dtype == jnp.bfloat16 else 0.1
+    w_cat = jnp.concatenate(
+        [t for (_, t, _, _) in built], axis=0).astype(jnp.float32)
+    b_cat = jnp.stack([
+        jnp.zeros((x.shape[-1],), jnp.float32) if bb is None
+        else bb.astype(jnp.float32)
+        for (_, _, bb, _) in built] + [jnp.zeros((x.shape[-1],), jnp.float32)] * 2)
+    Tp = -(-T // TILE) * TILE
+    n_tiles = Tp // TILE
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (SL, (L0b - TILE) + Tp - T - SL), (0, 0)))
+    dyp = jnp.pad(gy.astype(jnp.float32), ((0, 0), (0, Tp - T), (0, 0)))
+    meta = (conv_meta, T, SL, SR, slope)
+    dx_slab, dW_cat, db_cat = _fused_bwd_call(
+        xp, dyp, w_cat, b_cat, meta=meta, interpret=interpret)
+
+    # overlap-add the per-tile dx slabs (adjacent tiles' input windows
+    # overlap by L0b - TILE rows)
+    dxp = jnp.zeros((B, Tp + L0b - TILE, CL), jnp.float32)
+    for i in range(n_tiles):
+        dxp = jax.lax.dynamic_update_slice(
+            dxp, jax.lax.dynamic_slice(
+                dxp, (0, i * TILE, 0), (B, L0b, CL)) + dx_slab[:, i],
+            (0, i * TILE, 0))
+    dx = dxp[:, SL : SL + T].astype(x.dtype)
+
+    # dW back through the linear tap transform to (O, I, k) torch layout
+    dws, dbs = [], []
+    row0 = 0
+    for ci, ((w, b, k, d), (offs, taps, bias, lr)) in enumerate(
+            zip(convs, built)):
+        n = len(offs)
+        dW_packed = dW_cat[row0 : row0 + n]
+        row0 += n
+
+        def tap_transform(w_, k_=k, d_=d):
+            offs_, taps_, _, _ = _conv_taps(w_, None, k_, d_, S)
+            return taps_
+
+        _, tvjp = jax.vjp(tap_transform, w)
+        dws.append(tvjp(dW_packed.astype(jnp.float32))[0].astype(w.dtype))
+        if b is None:
+            dbs.append(None)
+        else:
+            dbc = db_cat[ci]
+            if S > 1:
+                dbc = dbc.reshape(S, -1).sum(axis=0)
+            dbs.append(dbc.astype(b.dtype))
+    return dx, tuple(dws), tuple(dbs)
+
+
+def fused_resblock1_train(
+    x: jax.Array,
+    convs: Sequence[tuple[jax.Array, jax.Array | None, int, int]],
+    S: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable fused chain: forward = the inference kernel,
+    backward = the recompute-in-VMEM backward kernel (dx + all dW/db in
+    one launch per direction). Gradients flow to the (w, b) entries of
+    ``convs`` (and through them to weight-norm v/g outside)."""
+    ws = tuple(w for (w, _, _, _) in convs)
+    bs = tuple(b for (_, b, _, _) in convs)
+    spec = tuple((int(k), int(d)) for (_, _, k, d) in convs)
+    has_bias = tuple(b is not None for b in bs)
+    fn = _train_fn(spec, S, interpret, has_bias)
+    # None biases can't cross the custom_vjp boundary; substitute zeros
+    CL = x.shape[-1] // S if S > 1 else x.shape[-1]
+    bs_filled = tuple(
+        b if b is not None else jnp.zeros((CL,), jnp.float32) for b in bs)
+    return fn(x, ws, bs_filled)
+
+
+@functools.lru_cache(maxsize=None)
+def _train_fn(spec, S, interpret, has_bias):
+    def mk_convs(ws, bs):
+        return [
+            (w, (b if hb else None), k, d)
+            for w, b, hb, (k, d) in zip(ws, bs, has_bias, spec)
+        ]
+
+    @jax.custom_vjp
+    def f(x, ws, bs):
+        return fused_resblock1(x, mk_convs(ws, bs), S=S, interpret=interpret)
+
+    def fwd(x, ws, bs):
+        return f(x, ws, bs), (x, ws, bs)
+
+    def bwd(res, gy):
+        x, ws, bs = res
+        dx, dws, dbs = _fused_resblock1_bwd(
+            x, gy, ws, bs, spec, S, interpret)
+        dbs_filled = tuple(
+            db if db is not None else jnp.zeros_like(b)
+            for db, b in zip(dbs, bs))
+        return dx, dws, dbs_filled
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def fused_resblock1(
     x: jax.Array,
     convs: Sequence[tuple[jax.Array, jax.Array | None, int, int]],

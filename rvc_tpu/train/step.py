@@ -48,12 +48,95 @@ class TrainState(NamedTuple):
     balancer_d: bal.BalancerState
 
 
-def make_optimizer(lr_schedule, betas=(0.8, 0.99), eps=1e-9, weight_decay=0.01):
-    """AdamW matching torch defaults (reference training_cli.py:209-239)."""
+def make_optax_adamw(lr_schedule, betas=(0.8, 0.99), eps=1e-9, weight_decay=0.01):
+    """Plain optax AdamW (kept for the torch-state importer and as the
+    semantic reference for FlatAdamW)."""
     return optax.adamw(
         learning_rate=lr_schedule, b1=betas[0], b2=betas[1], eps=eps,
         weight_decay=weight_decay,
     )
+
+
+class FlatAdamW:
+    """AdamW over ONE raveled parameter vector — optax.adamw semantics
+    (same bias correction, decoupled weight decay on every param, schedule
+    indexed by pre-increment count), ~600× fewer kernels.
+
+    Why: the GAN step is kernel-count bound on TPU (measured r4: per-leaf
+    optax updates over 560 G + 165 D leaves cost 6.6 ms of an 89 ms step;
+    the raveled form measures 2.5 ms). State: {count, m, v} with flat m/v.
+    ``apply`` returns the UPDATED params tree directly (updating inside
+    the flat space is the point — per-leaf apply_updates would reintroduce
+    the kernels).
+    """
+
+    def __init__(self, lr_schedule, betas=(0.8, 0.99), eps=1e-9,
+                 weight_decay=0.01):
+        self.sched = lr_schedule
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.wd = weight_decay
+
+    def init(self, params):
+        from jax.flatten_util import ravel_pytree
+
+        flat, _ = ravel_pytree(params)
+        flat = flat.astype(jnp.float32)
+        return {"count": jnp.zeros((), jnp.int32),
+                "m": jnp.zeros_like(flat), "v": jnp.zeros_like(flat)}
+
+    def apply(self, grads, state, params):
+        """(grads_tree, state, params_tree) -> (new_params_tree, new_state)."""
+        from jax.flatten_util import ravel_pytree
+
+        g, _ = ravel_pytree(grads)
+        p, unravel = ravel_pytree(params)
+        g = g.astype(jnp.float32)
+        p32 = p.astype(jnp.float32)
+        c = state["count"] + 1
+        m = self.b1 * state["m"] + (1.0 - self.b1) * g
+        v = self.b2 * state["v"] + (1.0 - self.b2) * jnp.square(g)
+        mh = m / (1.0 - self.b1 ** c.astype(jnp.float32))
+        vh = v / (1.0 - self.b2 ** c.astype(jnp.float32))
+        lr = self.sched(state["count"])
+        p2 = p32 - lr * (mh / (jnp.sqrt(vh) + self.eps) + self.wd * p32)
+        return unravel(p2.astype(p.dtype)), {"count": c, "m": m, "v": v}
+
+    def state_from_trees(self, m_tree, v_tree, count, params):
+        """Build flat state from param-shaped moment trees (the torch
+        Adam resume path: compat/optimizer_import fills optax-shaped
+        trees; ravel order matches params since the trees are congruent)."""
+        from jax.flatten_util import ravel_pytree
+
+        del params
+        return {"count": jnp.asarray(count, jnp.int32),
+                "m": ravel_pytree(m_tree)[0].astype(jnp.float32),
+                "v": ravel_pytree(v_tree)[0].astype(jnp.float32)}
+
+
+class _OptaxApply:
+    """optax.adamw with the (grads, state, params) -> (new_params, state)
+    interface the step uses. Measured on-chip (r4): the per-leaf form is
+    6.6 ms/step vs FlatAdamW's 2.5 ms standalone, BUT the flat form
+    regresses the FULL step 13.7 -> 5.6 steps/s — unraveled weights lose
+    their tiled conv layouts and every consumer pays a relayout copy. The
+    per-leaf update keeps donated aliasing and native layouts; FlatAdamW
+    remains available for non-conv parameter spaces."""
+
+    def __init__(self, tx):
+        self.tx = tx
+
+    def init(self, params):
+        return self.tx.init(params)
+
+    def apply(self, grads, state, params):
+        updates, new_state = self.tx.update(grads, state, params)
+        return optax.apply_updates(params, updates), new_state
+
+
+def make_optimizer(lr_schedule, betas=(0.8, 0.99), eps=1e-9, weight_decay=0.01):
+    """AdamW matching torch defaults (reference training_cli.py:209-239)."""
+    return _OptaxApply(make_optax_adamw(lr_schedule, betas, eps, weight_decay))
 
 
 def lr_schedule(base_lr: float, lr_decay: float, steps_per_epoch: int):
@@ -68,12 +151,22 @@ def lr_schedule(base_lr: float, lr_decay: float, steps_per_epoch: int):
 class Trainer:
     """Owns the models/optimizers and the jitted step."""
 
-    def __init__(self, config: RVCConfig, dtype=jnp.float32, balancer_active=True):
+    def __init__(self, config: RVCConfig, dtype=jnp.float32, balancer_active=True,
+                 fuse_resblocks: bool | None = None):
         self.config = config
         self.dtype = dtype
         self.balancer_active = balancer_active
+        if fuse_resblocks is None:
+            # auto: the fused chain (forward + custom-VJP backward Pallas
+            # kernels) on a single real TPU chip; unfused under a
+            # multi-chip mesh (the kernels carry no GSPMD partition rules)
+            # and on CPU (interpreter would dominate the virtual-mesh
+            # dryrun)
+            fuse_resblocks = (jax.default_backend() in ("tpu", "axon")
+                              and jax.device_count() == 1)
         self.synth = Synthesizer.from_config(
-            config.model, config.data, config.train.segment_size, dtype=dtype
+            config.model, config.data, config.train.segment_size, dtype=dtype,
+            fuse_resblocks=fuse_resblocks,
         )
         self.disc = MultiPeriodDiscriminator(
             version=config.model.version, dtype=dtype,
@@ -206,11 +299,10 @@ class Trainer:
             (loss_d_all, (loss_disc, new_bd)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
             )(state.params_d, state.balancer_d)
-            d_updates, new_opt_d = self.tx_d.update(
+            new_pd, new_opt_d = self.tx_d.apply(
                 d_grads["params"], state.opt_d, state.params_d["params"]
             )
-            new_params_d = {"params": optax.apply_updates(state.params_d["params"],
-                                                          d_updates)}
+            new_params_d = {"params": new_pd}
 
             # ---- generator update through the UPDATED discriminator
             def g_loss_fn(y_hat_in, y_hat_mel_in, flows_in, bstate):
@@ -277,11 +369,10 @@ class Trainer:
             )
             g_grads = g_vjp(cotangents)[0]
 
-            g_updates, new_opt_g = self.tx_g.update(
+            new_pg, new_opt_g = self.tx_g.apply(
                 g_grads["params"], state.opt_g, state.params_g["params"]
             )
-            new_params_g = {"params": optax.apply_updates(state.params_g["params"],
-                                                          g_updates)}
+            new_params_g = {"params": new_pg}
 
             grad_norm_g = optax.global_norm(g_grads["params"])
             grad_norm_d = optax.global_norm(d_grads["params"])

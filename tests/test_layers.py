@@ -55,6 +55,29 @@ def test_convtranspose1d_matches_torch(rng, ci, co, k, stride):
     assert y.shape == ref.shape  # exact torch output length (T*stride here)
     np.testing.assert_allclose(y, ref, atol=2e-5)
 
+    # subpixel + space-to-depth packed form must agree exactly too
+    m2 = ConvTranspose1d(ci, co, k, stride=stride, padding=pad, s2d=4)
+    y2 = np.asarray(m2.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(y2, ref, atol=2e-5)
+
+
+def test_convtranspose1d_general_geometry_unchanged(rng):
+    """K − 2p != stride (demucs geometry) keeps the input-dilated path."""
+    ci, co, k, stride = 6, 3, 8, 4
+    x = rng.standard_normal((1, 16, ci)).astype(np.float32)
+    m = ConvTranspose1d(ci, co, k, stride=stride, padding=0)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    w = np.asarray(params["params"]["weight"])
+    b = np.asarray(params["params"]["bias"])
+    y = np.asarray(m.apply(params, jnp.asarray(x)))
+    tconv = torch.nn.ConvTranspose1d(ci, co, k, stride=stride)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(w))
+        tconv.bias.copy_(torch.from_numpy(b))
+        ref = tconv(torch.from_numpy(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(y, ref, atol=2e-5)
+
 
 def test_weight_norm_param_and_fold(rng):
     x = rng.standard_normal((1, 16, 4)).astype(np.float32)

@@ -80,6 +80,92 @@ def test_resblock_tile_env_validated(monkeypatch, rng):
         prb.fused_resblock1(x, convs, S=S, interpret=True)
 
 
+@pytest.mark.parametrize("C,S,k,T", [(32, 4, 3, 500), (128, 1, 3, 300),
+                                     (32, 4, 11, 1100)])
+def test_fused_train_grads_match_autodiff(C, S, k, T, rng):
+    """The custom-VJP backward kernel (recompute-in-VMEM) must reproduce
+    XLA autodiff of the unfused chain: dx, all 6 dW (through the tap
+    transform back to torch layout) and db, to f32 tolerance. T=1100
+    spans multiple TILE=1024 tiles so the slab overlap-add and per-tile
+    dW ownership accumulation are exercised."""
+    from rvc_tpu.models.layers import _norm_except_dim0
+    from rvc_tpu.ops.pallas_resblock import fused_resblock1_train
+
+    dilation = (1, 3, 5)
+    rb = ResBlock1(C, k, dilation, s2d=S)
+    x = jnp.asarray(rng.standard_normal((2, T, S * C)).astype(np.float32))
+    params = rb.init(jax.random.PRNGKey(0), x)
+    convs = _convs_from_params(params, k, dilation)
+    ws = tuple(w for (w, _, _, _) in convs)
+    bs = tuple(b for (_, b, _, _) in convs)
+    cot = jnp.asarray(rng.standard_normal((2, T, S * C)).astype(np.float32))
+
+    def loss_fused(x_, ws_, bs_):
+        cv = [(w, b, k, d) for w, b, (_, _, _, d) in zip(ws_, bs_, convs)]
+        out = fused_resblock1_train(x_, cv, S=S, interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(x_, ws_, bs_):
+        out = x_
+        for i in range(0, 6, 2):
+            t = _ref_conv(jax.nn.leaky_relu(out, 0.1), ws_[i], bs_[i],
+                          convs[i][3], S)
+            t = _ref_conv(jax.nn.leaky_relu(t, 0.1), ws_[i + 1], bs_[i + 1],
+                          convs[i + 1][3], S)
+            out = out + t
+        return jnp.sum(out * cot)
+
+    gx_f, gw_f, gb_f = jax.grad(loss_fused, argnums=(0, 1, 2))(x, ws, bs)
+    gx_r, gw_r, gb_r = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-4, rtol=2e-4)
+    for a, b_, name in [(gw_f, gw_r, "dW"), (gb_f, gb_r, "db")]:
+        for i, (af, ar) in enumerate(zip(a, b_)):
+            scale = max(1e-6, float(np.max(np.abs(np.asarray(ar)))))
+            np.testing.assert_allclose(
+                np.asarray(af) / scale, np.asarray(ar) / scale,
+                atol=3e-4, err_msg=f"{name}[{i}]")
+
+
+def _ref_conv(x, w, b, d, S):
+    """Unfused reference conv in the packed layout (same math the module
+    path uses: _s2d_weight superchannel conv when S > 1)."""
+    import jax.lax as lax
+
+    from rvc_tpu.models.layers import _s2d_weight
+
+    k = w.shape[-1]
+    padding = (k * d - d) // 2
+    if S > 1:
+        W2, pl_, pr_ = _s2d_weight(w, S, d, padding)
+        y = lax.conv_general_dilated(
+            x, W2, window_strides=(1,), padding=[(pl_, pr_)],
+            dimension_numbers=("NWC", "OIW", "NWC"))
+        if b is not None:
+            y = y + jnp.tile(b, S)
+    else:
+        y = lax.conv_general_dilated(
+            x, w, window_strides=(1,), padding=[(padding, padding)],
+            rhs_dilation=(d,), dimension_numbers=("NWC", "OIW", "NWC"))
+        if b is not None:
+            y = y + b
+    return y
+
+
+def test_fused_train_forward_matches_inference_kernel(rng):
+    """fused_resblock1_train's primal must equal fused_resblock1."""
+    from rvc_tpu.ops.pallas_resblock import fused_resblock1_train
+
+    C, S, k = 32, 4, 3
+    rb = ResBlock1(C, k, (1, 3, 5), s2d=S)
+    x = jnp.asarray(rng.standard_normal((1, 200, S * C)).astype(np.float32))
+    params = rb.init(jax.random.PRNGKey(0), x)
+    convs = _convs_from_params(params, k, (1, 3, 5))
+    a = fused_resblock1(x, convs, S=S, interpret=True)
+    b = fused_resblock1_train(x, convs, S=S, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_flag_param_tree_identical(rng):
     """fuse=True must not change the parameter tree (checkpoint layout)."""
     x = jnp.zeros((1, 64, 128), jnp.float32)

@@ -125,3 +125,51 @@ def test_train_step_with_gradient_penalty():
     state, metrics = trainer.step_fn()(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss_disc_all"]))
     assert float(metrics["grad_norm_d"]) > 0
+
+
+def test_flat_adamw_matches_optax():
+    """FlatAdamW (raveled single-vector AdamW) must track optax.adamw
+    step-for-step: same bias correction, schedule indexing, and decoupled
+    weight decay on every param."""
+    import optax
+
+    from rvc_tpu.train.step import FlatAdamW, make_optax_adamw
+
+    rng = np.random.default_rng(0)
+    params = {
+        "a": {"w": jnp.asarray(rng.standard_normal((5, 3)), jnp.float32),
+              "b": jnp.asarray(rng.standard_normal((3,)), jnp.float32)},
+        "c": jnp.asarray(rng.standard_normal((2, 2, 4)), jnp.float32),
+    }
+    sched = lambda step: 1e-3 * (0.9 ** step)  # noqa: E731
+    tx_ref = make_optax_adamw(sched, betas=(0.8, 0.99), eps=1e-9)
+    tx_flat = FlatAdamW(sched, betas=(0.8, 0.99), eps=1e-9)
+    s_ref = tx_ref.init(params)
+    s_flat = tx_flat.init(params)
+    p_ref = p_flat = params
+    for i in range(4):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(i).standard_normal(p.shape), jnp.float32),
+            p_ref)
+        upd, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+        p_flat, s_flat = tx_flat.apply(grads, s_flat, p_flat)
+        for leaf_r, leaf_f in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_flat)):
+            np.testing.assert_allclose(np.asarray(leaf_f), np.asarray(leaf_r),
+                                       atol=1e-7, rtol=1e-6)
+
+
+def test_flat_adamw_state_from_trees():
+    from jax.flatten_util import ravel_pytree
+
+    from rvc_tpu.train.step import FlatAdamW
+
+    params = {"w": jnp.ones((2, 3)), "b": jnp.zeros((3,))}
+    m_tree = jax.tree.map(lambda p: p * 0.5, params)
+    v_tree = jax.tree.map(lambda p: p * 0.25 + 1.0, params)
+    tx = FlatAdamW(lambda s: 1e-3)
+    st = tx.state_from_trees(m_tree, v_tree, 7, params)
+    assert int(st["count"]) == 7
+    np.testing.assert_allclose(np.asarray(st["m"]),
+                               np.asarray(ravel_pytree(m_tree)[0]))
