@@ -141,11 +141,38 @@ def main():
         detail["throughput_dispatch_s"] = round(stats["dispatch_s"], 3)
         detail["device_share_pct"] = round(
             100.0 * stats["dispatch_s"] / walls[0], 1)
+        detail["throughput_device_s"] = round(stats.get("device_s", 0.0), 3)
+        detail["throughput_download_s"] = round(
+            stats.get("download_s", 0.0), 3)
     if "flops" in stats and on_tpu:
-        # v5e peak 197 TFLOP/s bf16; dispatch wall still includes the
-        # tunnel round trip → this MFU is a lower bound on the true value
+        # v5e peak 197 TFLOP/s bf16. dispatch wall includes the tunnel
+        # download (~0.26 s for the 9 MB int16 grid on this link) → that
+        # MFU is a lower bound; device_s (block_until_ready, no download)
+        # is the honest chip-efficiency number — and the download pipelines
+        # away in steady-state serving (see throughput_pipelined below)
         detail["mfu_pct_lower_bound"] = round(
             100.0 * stats["flops"] / (stats["dispatch_s"] * 197e12), 2)
+        if stats.get("device_s"):
+            detail["mfu_pct_device"] = round(
+                100.0 * stats["flops"] / (stats["device_s"] * 197e12), 2)
+
+    # pipelined steady state: issue batch k+1's dispatch before forcing
+    # batch k's download — the serving deployment pattern; the download
+    # overlaps the next batch's compute (measured: 0.70 s sync -> 0.39 s
+    # steady-state per batch on this link)
+    dispatch, finalize = vc.convert_batch(songs, settings=settings,
+                                          return_async=True)
+    prev = dispatch()
+    t0 = time.perf_counter()
+    reps = 6
+    for _ in range(reps):
+        cur = dispatch()
+        finalize(prev)
+        prev = cur
+    pipe_wall = (time.perf_counter() - t0) / reps
+    finalize(prev)
+    detail["throughput_pipelined_agg_rtf"] = round(
+        n_songs * song_s / pipe_wall, 1)
 
     # --- saturation sweep: where does per-chip aggregate RTF stop scaling
     # with batch size? N=8 above was chosen, not derived; this is the

@@ -30,6 +30,7 @@ class ResidualCouplingLayer(nn.Module):
     n_layers: int
     gin_channels: int = 0
     mean_only: bool = True
+    fuse_wn: bool = False  # fused Pallas WN stack (ops/pallas_wavenet)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -43,6 +44,7 @@ class ResidualCouplingLayer(nn.Module):
             self.dilation_rate,
             self.n_layers,
             gin_channels=self.gin_channels,
+            fuse=self.fuse_wn,
             dtype=self.dtype,
             name="enc",
         )(h, x_mask, g=g)
@@ -71,6 +73,7 @@ class ResidualCouplingBlock(nn.Module):
     n_layers: int
     n_flows: int = 4
     gin_channels: int = 0
+    fuse_wn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,6 +87,7 @@ class ResidualCouplingBlock(nn.Module):
                 self.n_layers,
                 gin_channels=self.gin_channels,
                 mean_only=True,
+                fuse_wn=self.fuse_wn,
                 dtype=self.dtype,
                 name=f"flows_{i * 2}",  # reference interleaves Flip modules (odd ids)
             )

@@ -81,6 +81,7 @@ class PosteriorEncoder(nn.Module):
     dilation_rate: int
     n_layers: int
     gin_channels: int = 0
+    fuse_wn: bool = False  # fused Pallas WN stack (ops/pallas_wavenet)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -94,6 +95,7 @@ class PosteriorEncoder(nn.Module):
             self.dilation_rate,
             self.n_layers,
             gin_channels=self.gin_channels,
+            fuse=self.fuse_wn,
             dtype=self.dtype,
             name="enc",
         )(h, x_mask, g=g)
@@ -135,11 +137,13 @@ class Synthesizer(nn.Module):
     feature_dim: int = 768  # 256 for v1, 768 for v2
     use_f0: bool = True
     fuse_resblocks: bool = False  # Pallas fused resblock chain (TPU inference)
+    fuse_wn: bool = False  # Pallas fused WN stacks in enc_q + flows
     dtype: Any = jnp.float32
 
     @classmethod
     def from_config(cls, model: ModelConfig, data: DataConfig, segment_size: int,
-                    dtype=jnp.float32, fuse_resblocks: bool = False) -> "Synthesizer":
+                    dtype=jnp.float32, fuse_resblocks: bool = False,
+                    fuse_wn: bool = False) -> "Synthesizer":
         return cls(
             spec_channels=data.spec_channels,
             segment_size=segment_size // data.hop_length,
@@ -162,6 +166,7 @@ class Synthesizer(nn.Module):
             feature_dim=model.feature_dim,
             use_f0=model.use_f0,
             fuse_resblocks=fuse_resblocks,
+            fuse_wn=fuse_wn,
             dtype=dtype,
         )
 
@@ -213,6 +218,7 @@ class Synthesizer(nn.Module):
             1,
             16,
             gin_channels=self.gin_channels,
+            fuse_wn=self.fuse_wn,
             dtype=self.dtype,
         )
         self.flow = ResidualCouplingBlock(
@@ -222,6 +228,7 @@ class Synthesizer(nn.Module):
             1,
             3,
             gin_channels=self.gin_channels,
+            fuse_wn=self.fuse_wn,
             dtype=self.dtype,
         )
         self.emb_g = Embedding(self.spk_embed_dim, self.gin_channels, dtype=self.dtype)

@@ -100,8 +100,12 @@ class VoiceConverter:
             "fuse_resblocks",
             mesh is None and all(d.platform in ("tpu", "axon")
                                  for d in jax.devices()))
+        # fuse_wn defaults OFF at inference: measured neutral on the train
+        # step (launch savings ≈ the pad/halo compute waste at these
+        # shapes) and unprofiled at conversion shapes — opt in explicitly
         self.synth = Synthesizer(
-            **{**synth_kwargs, "dtype": dtype, "fuse_resblocks": fuse})
+            **{**synth_kwargs, "dtype": dtype, "fuse_resblocks": fuse,
+               "fuse_wn": synth_kwargs.get("fuse_wn", False)})
         self.synth_params = synth_params
         self.version = "v1" if synth_kwargs.get("feature_dim", 768) == 256 else "v2"
         self.use_f0 = synth_kwargs.get("use_f0", True)
@@ -197,17 +201,26 @@ class VoiceConverter:
             starts, lengths, sid = ints[0], ints[1], ints[2]
             index_rate, protect, rms_rate = scalars[0], scalars[1], scalars[2]
             audio_pad = audio_q.astype(jnp.float32) * scalars[4]
-            if use_f0 and f0_spec is not None:
-                f0 = f0_fn(pitch_params, audio_pad[None])
-                if autotune_on:
-                    f0 = autotune(f0)
-                f0 = shift_semitones(f0, scalars[3])
-                pitch_full = coarse_f0(f0, f0_min, f0_max)[0]
-                pitchf_full = f0[0].astype(jnp.float32)
             chunks = jax.vmap(
                 lambda st: jax.lax.dynamic_slice(audio_pad, (st,), (L,))
             )(starts)
-            if use_f0:
+            if use_f0 and f0_spec is not None:
+                # f0 PER CHUNK (the chunk batch is the f0 batch): RMVPE's
+                # BiGRU is sequential over frames, so full-track f0 costs
+                # n_chunks× more wall than the batched per-chunk form (the
+                # r3 flat-buffer design also let one song's audio leak into
+                # another's GRU context in multi-song batches). Deviation
+                # from the reference's full-track get_f0
+                # (vc_infer_pipeline.py:127) is confined to seam frames
+                # whose synthesis context sits inside the trimmed t_pad
+                # reflect pads.
+                f0 = f0_fn(pitch_params, chunks)[:, :F]
+                if autotune_on:
+                    f0 = autotune(f0)
+                f0 = shift_semitones(f0, scalars[3])
+                pitch = coarse_f0(f0, f0_min, f0_max)
+                pitchf = f0.astype(jnp.float32)
+            elif use_f0:
                 fstarts = starts // WINDOW
                 pitch = jax.vmap(
                     lambda st: jax.lax.dynamic_slice(pitch_full, (st,), (F,))

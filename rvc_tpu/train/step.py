@@ -166,7 +166,7 @@ class Trainer:
                               and jax.device_count() == 1)
         self.synth = Synthesizer.from_config(
             config.model, config.data, config.train.segment_size, dtype=dtype,
-            fuse_resblocks=fuse_resblocks,
+            fuse_resblocks=fuse_resblocks, fuse_wn=fuse_resblocks,
         )
         self.disc = MultiPeriodDiscriminator(
             version=config.model.version, dtype=dtype,
