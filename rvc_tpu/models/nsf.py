@@ -136,6 +136,7 @@ class ResBlock1(nn.Module):
     dilation: Sequence[int] = (1, 3, 5)
     s2d: int = 1
     fuse: bool = False  # single fused Pallas kernel (inference, TPU)
+    mesh: Any = None  # dp mesh: shard_map the kernel (multi-chip inference)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -160,16 +161,22 @@ class ResBlock1(nn.Module):
             # training; its primal is bit-identical to the inference kernel.
             import jax as _jax
 
-            from ..ops.pallas_resblock import fused_resblock1_train
+            from ..ops.pallas_resblock import (fused_resblock1_sharded,
+                                               fused_resblock1_train)
 
             packed = [(*conv(None, return_weights=True), self.kernel_size, d)
                       for conv, d in convs]
             # Mosaic only exists on TPU: every other backend (cpu, gpu)
             # falls back to the interpreter so a forced fuse flag stays
             # functional anywhere
+            interp = _jax.default_backend() not in ("tpu", "axon")
+            if self.mesh is not None:
+                # dp mesh: batch rows shard, weights replicate (shard_map —
+                # the kernel has no GSPMD rule). Inference-only.
+                return fused_resblock1_sharded(
+                    x, packed, self.mesh, S=self.s2d, interpret=interp)
             return fused_resblock1_train(
-                x, packed, S=self.s2d,
-                interpret=_jax.default_backend() not in ("tpu", "axon"))
+                x, packed, S=self.s2d, interpret=interp)
         for i in range(0, len(convs), 2):
             xt = leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:
@@ -191,6 +198,7 @@ class ResBlock2(nn.Module):
     dilation: Sequence[int] = (1, 3)
     s2d: int = 1
     fuse: bool = False  # accepted for API parity; fusion covers ResBlock1
+    mesh: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -224,6 +232,7 @@ class GeneratorNSF(nn.Module):
     gin_channels: int
     sr: int
     fuse_resblocks: bool = False  # Pallas fused chain (inference, TPU only)
+    mesh: Any = None  # dp mesh for sharded fused kernels
     dtype: Any = jnp.float32
 
     @property
@@ -296,7 +305,7 @@ class GeneratorNSF(nn.Module):
             ):
                 r = rb_cls(c_cur, rk, tuple(rd), s2d=S,
                            fuse=self.fuse_resblocks and rb_cls is ResBlock1,
-                           dtype=self.dtype,
+                           mesh=self.mesh, dtype=self.dtype,
                            name=f"resblocks_{i * num_kernels + j}")(x)
                 xs = r if xs is None else xs + r
             x = xs / num_kernels
@@ -319,6 +328,7 @@ class Generator(nn.Module):
     upsample_kernel_sizes: Sequence[int]
     gin_channels: int = 0
     fuse_resblocks: bool = False
+    mesh: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -358,7 +368,7 @@ class Generator(nn.Module):
             ):
                 r = rb_cls(ch, rk, tuple(rd), s2d=S,
                            fuse=self.fuse_resblocks and rb_cls is ResBlock1,
-                           dtype=self.dtype,
+                           mesh=self.mesh, dtype=self.dtype,
                            name=f"resblocks_{i * num_kernels + j}")(x)
                 xs = r if xs is None else xs + r
             x = xs / num_kernels

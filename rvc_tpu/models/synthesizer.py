@@ -138,6 +138,7 @@ class Synthesizer(nn.Module):
     use_f0: bool = True
     fuse_resblocks: bool = False  # Pallas fused resblock chain (TPU inference)
     fuse_wn: bool = False  # Pallas fused WN stacks in enc_q + flows
+    mesh: Any = None  # dp mesh: shard_map'd fused kernels (inference)
     dtype: Any = jnp.float32
 
     @classmethod
@@ -195,6 +196,7 @@ class Synthesizer(nn.Module):
                 gin_channels=self.gin_channels,
                 sr=self.sr,
                 fuse_resblocks=self.fuse_resblocks,
+                mesh=self.mesh,
                 dtype=self.dtype,
             )
         else:
@@ -208,6 +210,7 @@ class Synthesizer(nn.Module):
                 self.upsample_kernel_sizes,
                 gin_channels=self.gin_channels,
                 fuse_resblocks=self.fuse_resblocks,
+                mesh=self.mesh,
                 dtype=self.dtype,
             )
         self.enc_q = PosteriorEncoder(

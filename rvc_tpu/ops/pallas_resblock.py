@@ -40,9 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 # packed frames per grid step. 1024 measured 10-16% faster than 512 on the
-# deep stages (fewer grid steps, longer matmuls vs halo overhead); env
-# override for tuning sweeps.
-TILE = int(_os.environ.get("RVC_TPU_RESBLOCK_TILE", "1024"))
+# deep stages (fewer grid steps, longer matmuls vs halo overhead); r4
+# sweep on the full synth dispatch: 2048 another ~3% over 1024
+# (237.6 -> 231.1 ms, 8x12s). env override for tuning sweeps.
+TILE = int(_os.environ.get("RVC_TPU_RESBLOCK_TILE", "2048"))
 
 
 def _conv_taps(w: jax.Array, b: jax.Array | None, k: int, d: int, S: int):
@@ -496,6 +497,37 @@ def _train_fn(spec, S, interpret, has_bias):
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def fused_resblock1_sharded(
+    x: jax.Array,
+    convs: Sequence[tuple[jax.Array, jax.Array | None, int, int]],
+    mesh,
+    S: int = 1,
+    axis: str = "dp",
+    interpret: bool = False,
+) -> jax.Array:
+    """fused_resblock1 under a device mesh: the chunk batch (dim 0)
+    shards over ``axis``, weights replicate. The chain is independent per
+    batch row, so each chip runs the kernel on its local shard with zero
+    collectives — without this shard_map wrapper the SPMD partitioner
+    would all-gather the batch around the custom call (no GSPMD rule).
+    Inference-only (multi-chip training keeps the unfused convs)."""
+    from jax.sharding import PartitionSpec as P
+
+    ws = tuple(w for (w, _, _, _) in convs)
+    bs = tuple(b for (_, b, _, _) in convs)
+    spec = tuple((int(k), int(d)) for (_, _, k, d) in convs)
+
+    def fn(x_, ws_, bs_):
+        cv = [(w, b, k, d) for w, b, (k, d) in zip(ws_, bs_, spec)]
+        return fused_resblock1(x_, cv, S=S, interpret=interpret)
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis, None, None), P(), P()),
+        out_specs=P(axis, None, None), check_vma=False,
+    )(x, ws, bs)
 
 
 def fused_resblock1(

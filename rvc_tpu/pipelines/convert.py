@@ -93,19 +93,23 @@ class VoiceConverter:
         the fused core."""
         self.config = config or RVCConfig()
         self.dtype = dtype
-        self.mesh = mesh
-        # fused Pallas resblock chain on TPU (Mosaic-only kernel; the
-        # CPU/GPU and mesh-dryrun paths keep the plain convs)
+        # fused Pallas resblock chain on TPU (Mosaic-only kernel; CPU/GPU
+        # keep the plain convs). Under a dp mesh the kernel runs via a
+        # shard_map wrapper (batch rows shard, weights replicate —
+        # ops/pallas_resblock.fused_resblock1_sharded).
         fuse = synth_kwargs.get(
             "fuse_resblocks",
-            mesh is None and all(d.platform in ("tpu", "axon")
-                                 for d in jax.devices()))
+            all(d.platform in ("tpu", "axon") for d in jax.devices()))
+        self._fuse = fuse
         # fuse_wn defaults OFF at inference: measured neutral on the train
         # step (launch savings ≈ the pad/halo compute waste at these
-        # shapes) and unprofiled at conversion shapes — opt in explicitly
+        # shapes) and neutral at conversion shapes (r4 A/B: 212.6 vs
+        # 214.0 ms on the 8x12s synth dispatch) — opt in explicitly
         self.synth = Synthesizer(
             **{**synth_kwargs, "dtype": dtype, "fuse_resblocks": fuse,
-               "fuse_wn": synth_kwargs.get("fuse_wn", False)})
+               "fuse_wn": synth_kwargs.get("fuse_wn", False),
+               "mesh": mesh if fuse else None})
+        self._mesh = mesh
         self.synth_params = synth_params
         self.version = "v1" if synth_kwargs.get("feature_dim", 768) == 256 else "v2"
         self.use_f0 = synth_kwargs.get("use_f0", True)
@@ -142,6 +146,21 @@ class VoiceConverter:
             lambda src, dst, rate: change_rms(src, SR, dst, tgt, rate)
         )
         self._resample_cache: dict = {}
+
+    @property
+    def mesh(self):
+        return self._mesh
+
+    @mesh.setter
+    def mesh(self, m):
+        """Post-hoc mesh assignment (tests/dryruns do `vc.mesh = make_mesh(…)`)
+        must rebuild the synthesizer (the fused kernels shard via a captured
+        mesh) and drop jitted cores built for the old sharding."""
+        import dataclasses as _dc
+
+        self._mesh = m
+        self.synth = _dc.replace(self.synth, mesh=m if self._fuse else None)
+        self._core_cache.clear()
 
     def _jit_resample(self, out_sr: int):
         if out_sr not in self._resample_cache:

@@ -205,3 +205,22 @@ def test_fused_short_sequence(rng):
                           S=S, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_fused_sharded_matches_single(rng):
+    """fused_resblock1_sharded under an 8-device dp mesh (batch rows
+    sharded, weights replicated) must equal the single-device kernel —
+    the layout multi-chip inference uses (convert.py threads the mesh
+    through Synthesizer → GeneratorNSF → ResBlock1)."""
+    from rvc_tpu.ops.pallas_resblock import fused_resblock1_sharded
+    from rvc_tpu.parallel.mesh import make_mesh
+
+    C, S, k = 32, 4, 3
+    rb = ResBlock1(C, k, (1, 3, 5), s2d=S)
+    x = jnp.asarray(rng.standard_normal((8, 96, S * C)).astype(np.float32))
+    params = rb.init(jax.random.PRNGKey(0), x)
+    convs = _convs_from_params(params, k, (1, 3, 5))
+    single = fused_resblock1(x, convs, S=S, interpret=True)
+    mesh = make_mesh(8)
+    sharded = fused_resblock1_sharded(x, convs, mesh, S=S, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
