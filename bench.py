@@ -159,25 +159,31 @@ def main():
     # pipelined steady state: issue batch k+1's dispatch before forcing
     # batch k's download — the serving deployment pattern; the download
     # overlaps the next batch's compute (measured: 0.70 s sync -> 0.39 s
-    # steady-state per batch on this link)
-    dispatch, finalize = vc.convert_batch(songs, settings=settings,
-                                          return_async=True)
-    prev = dispatch()
-    t0 = time.perf_counter()
-    reps = 6
-    for _ in range(reps):
-        cur = dispatch()
+    # steady-state per batch on this link). NON-FATAL: the remote-compile
+    # relay occasionally drops a connection mid-compile; a detail section
+    # must never zero the round's headline JSON.
+    try:
+        dispatch, finalize = vc.convert_batch(songs, settings=settings,
+                                              return_async=True)
+        prev = dispatch()
+        t0 = time.perf_counter()
+        reps = 6
+        for _ in range(reps):
+            cur = dispatch()
+            finalize(prev)
+            prev = cur
+        pipe_wall = (time.perf_counter() - t0) / reps
         finalize(prev)
-        prev = cur
-    pipe_wall = (time.perf_counter() - t0) / reps
-    finalize(prev)
-    detail["throughput_pipelined_agg_rtf"] = round(
-        n_songs * song_s / pipe_wall, 1)
+        detail["throughput_pipelined_agg_rtf"] = round(
+            n_songs * song_s / pipe_wall, 1)
+    except Exception as e:  # pragma: no cover - environment transients
+        detail["pipelined_error"] = f"{type(e).__name__}"[:60]
 
     # --- saturation sweep: where does per-chip aggregate RTF stop scaling
     # with batch size? N=8 above was chosen, not derived; this is the
     # per-chip capacity number a deployment plans around (HBM limit for
     # bank + activations). Disable with RVC_BENCH_SWEEP=0 for quick runs.
+    # Per-N NON-FATAL for the same relay-transient reason.
     if os.environ.get("RVC_BENCH_SWEEP", "1") != "0":
         sweep = {}
         for n in (4, 8, 16, 32):
@@ -188,23 +194,29 @@ def main():
                     "mfu_pct": detail.get("mfu_pct_lower_bound"),
                 }
                 continue
-            songs_n = [load_speech(song_s, offset_s=1.5 * i) for i in range(n)]
-            st: dict = {}
-            vc.convert_batch(songs_n, settings=settings, stats=st)  # warm
-            best_wall, best_disp = float("inf"), float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                vc.convert_batch(songs_n, settings=settings, stats=st)
-                best_wall = min(best_wall, time.perf_counter() - t0)
-                best_disp = min(best_disp, st.get("dispatch_s", float("inf")))
-            entry = {"agg_rtf_best": round(n * song_s / best_wall, 1),
-                     "dispatch_s": round(best_disp, 3)}
-            if "flops" in st and on_tpu and best_disp > 0:
-                entry["mfu_pct"] = round(
-                    100.0 * st["flops"] / (best_disp * 197e12), 2)
-            sweep[str(n)] = entry
+            try:
+                songs_n = [load_speech(song_s, offset_s=1.5 * i)
+                           for i in range(n)]
+                st: dict = {}
+                vc.convert_batch(songs_n, settings=settings, stats=st)  # warm
+                best_wall, best_disp = float("inf"), float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    vc.convert_batch(songs_n, settings=settings, stats=st)
+                    best_wall = min(best_wall, time.perf_counter() - t0)
+                    best_disp = min(best_disp,
+                                    st.get("dispatch_s", float("inf")))
+                entry = {"agg_rtf_best": round(n * song_s / best_wall, 1),
+                         "dispatch_s": round(best_disp, 3)}
+                if "flops" in st and on_tpu and best_disp > 0:
+                    entry["mfu_pct"] = round(
+                        100.0 * st["flops"] / (best_disp * 197e12), 2)
+                sweep[str(n)] = entry
+            except Exception as e:  # pragma: no cover
+                sweep[str(n)] = {"error": f"{type(e).__name__}"[:60],
+                                 "agg_rtf_best": 0}
         detail["throughput_sweep"] = sweep
-        knee = max(sweep, key=lambda k: sweep[k]["agg_rtf_best"] or 0)
+        knee = max(sweep, key=lambda k: sweep[k].get("agg_rtf_best") or 0)
         detail["throughput_knee_songs"] = int(knee)
 
     print(json.dumps({
