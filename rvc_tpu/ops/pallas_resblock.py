@@ -45,6 +45,14 @@ import os as _os
 # (237.6 -> 231.1 ms, 8x12s). env override for tuning sweeps.
 TILE = int(_os.environ.get("RVC_TPU_RESBLOCK_TILE", "2048"))
 
+# backward (training) kernel tile — decoupled from the inference tile: the
+# recompute-in-VMEM backward holds ~8 live L0b×CL f32 buffers plus the full
+# dW accumulator, so its VMEM footprint scales with the tile where the
+# forward's does not. 2048 exceeds the 128M VMEM budget at CL=256 (measured
+# r4: 168M requested → compile error); 1024 is the largest green value and
+# the one the 13.6 steps/s train bench was measured at.
+BWD_TILE = int(_os.environ.get("RVC_TPU_RESBLOCK_TILE_BWD", "1024"))
+
 
 def _conv_taps(w: jax.Array, b: jax.Array | None, k: int, d: int, S: int):
     """One conv's tap list for the kernel.
@@ -214,15 +222,15 @@ def _lrelu_grad(x, slope):
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
 def _fused_bwd_call(xp, dyp, w_cat, b_cat, *, meta, interpret=False):
     """xp: (B, Tpad_b, CL) padded input (f32); dyp: (B, Tpad, CL)
-    cotangent of the chain output (Tpad = n_tiles·TILE); w_cat: packed taps
+    cotangent of the chain output (Tpad = n_tiles·BWD_TILE); w_cat: packed taps
     (total_taps, CL, CL); b_cat: (8, CL) packed biases. Returns
     (dx_slab (B, n_tiles, L0b, CL) f32, dW (total_taps, CL, CL) f32,
     db (8, CL) f32)."""
     conv_meta, T, SL, SR, slope = meta
     B, Tpad_b, CL = xp.shape
     HALO = SL + SR
-    L0b = TILE + 2 * HALO + (-(TILE + 2 * HALO)) % 8
-    n_tiles = (Tpad_b - (L0b - TILE)) // TILE
+    L0b = BWD_TILE + 2 * HALO + (-(BWD_TILE + 2 * HALO)) % 8
+    n_tiles = (Tpad_b - (L0b - BWD_TILE)) // BWD_TILE
     total_taps = sum(m[0] for m in conv_meta)
     # g (frame shift) at each pair start, static
     g_pairs = []
@@ -236,15 +244,15 @@ def _fused_bwd_call(xp, dyp, w_cat, b_cat, *, meta, interpret=False):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(ti * TILE, L0b), :], xt, sem)
+            x_hbm.at[bi, pl.ds(ti * BWD_TILE, L0b), :], xt, sem)
         cp.start()
         cp2 = pltpu.make_async_copy(
-            dy_hbm.at[bi, pl.ds(ti * TILE, TILE), :], dyt, sem2)
+            dy_hbm.at[bi, pl.ds(ti * BWD_TILE, BWD_TILE), :], dyt, sem2)
         cp2.start()
         cp.wait()
         cp2.wait()
 
-        tile_org = ti * TILE
+        tile_org = ti * BWD_TILE
 
         @pl.when((bi == 0) & (ti == 0))
         def _():
@@ -291,9 +299,9 @@ def _fused_bwd_call(xp, dyp, w_cat, b_cat, *, meta, interpret=False):
 
         # ---- ownership mask on the incoming cotangent
         row = jax.lax.broadcasted_iota(jnp.int32, (L0b, 1), 0)
-        own = ((row < TILE) & (row + tile_org < T)).astype(jnp.float32)
+        own = ((row < BWD_TILE) & (row + tile_org < T)).astype(jnp.float32)
         dF = jnp.pad(dyt[:].astype(jnp.float32),
-                     ((0, L0b - TILE), (0, 0))) * own
+                     ((0, L0b - BWD_TILE), (0, 0))) * own
 
         # ---- backward through the three pairs
         for p in range(2, -1, -1):
@@ -345,8 +353,8 @@ def _fused_bwd_call(xp, dyp, w_cat, b_cat, *, meta, interpret=False):
             db_ref[ci_a, :] += jnp.sum(d_c1pre, axis=0)
             dF = d_h_res + d_u1 * _lrelu_grad(h_p, slope)
 
-        # guard rows can hold roll garbage; dx support is [0, TILE + HALO)
-        guard = (row < TILE + HALO).astype(jnp.float32)
+        # guard rows can hold roll garbage; dx support is [0, BWD_TILE + HALO)
+        guard = (row < BWD_TILE + HALO).astype(jnp.float32)
         dx_ref[0, 0] = dF * guard
 
     dx_slab, dW, db = pl.pallas_call(
@@ -373,7 +381,7 @@ def _fused_bwd_call(xp, dyp, w_cat, b_cat, *, meta, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((L0b, CL), xp.dtype),
-            pltpu.VMEM((TILE, CL), dyp.dtype),
+            pltpu.VMEM((BWD_TILE, CL), dyp.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -396,7 +404,7 @@ def _fused_resblock1_bwd(x, gy, ws, bs, spec, S, interpret):
     SL = sum(m[2] for m in conv_meta)
     SR = sum(m[1][-1] for m in conv_meta) - SL
     HALO = SL + SR
-    L0b = TILE + 2 * HALO + (-(TILE + 2 * HALO)) % 8
+    L0b = BWD_TILE + 2 * HALO + (-(BWD_TILE + 2 * HALO)) % 8
     slope = float(__import__("ml_dtypes").bfloat16(0.1)) \
         if x.dtype == jnp.bfloat16 else 0.1
     w_cat = jnp.concatenate(
@@ -405,23 +413,23 @@ def _fused_resblock1_bwd(x, gy, ws, bs, spec, S, interpret):
         jnp.zeros((x.shape[-1],), jnp.float32) if bb is None
         else bb.astype(jnp.float32)
         for (_, _, bb, _) in built] + [jnp.zeros((x.shape[-1],), jnp.float32)] * 2)
-    Tp = -(-T // TILE) * TILE
-    n_tiles = Tp // TILE
+    Tp = -(-T // BWD_TILE) * BWD_TILE
+    n_tiles = Tp // BWD_TILE
     xp = jnp.pad(x.astype(jnp.float32),
-                 ((0, 0), (SL, (L0b - TILE) + Tp - T - SL), (0, 0)))
+                 ((0, 0), (SL, (L0b - BWD_TILE) + Tp - T - SL), (0, 0)))
     dyp = jnp.pad(gy.astype(jnp.float32), ((0, 0), (0, Tp - T), (0, 0)))
     meta = (conv_meta, T, SL, SR, slope)
     dx_slab, dW_cat, db_cat = _fused_bwd_call(
         xp, dyp, w_cat, b_cat, meta=meta, interpret=interpret)
 
     # overlap-add the per-tile dx slabs (adjacent tiles' input windows
-    # overlap by L0b - TILE rows)
-    dxp = jnp.zeros((B, Tp + L0b - TILE, CL), jnp.float32)
+    # overlap by L0b - BWD_TILE rows)
+    dxp = jnp.zeros((B, Tp + L0b - BWD_TILE, CL), jnp.float32)
     for i in range(n_tiles):
         dxp = jax.lax.dynamic_update_slice(
             dxp, jax.lax.dynamic_slice(
-                dxp, (0, i * TILE, 0), (B, L0b, CL)) + dx_slab[:, i],
-            (0, i * TILE, 0))
+                dxp, (0, i * BWD_TILE, 0), (B, L0b, CL)) + dx_slab[:, i],
+            (0, i * BWD_TILE, 0))
     dx = dxp[:, SL : SL + T].astype(x.dtype)
 
     # dW back through the linear tap transform to (O, I, k) torch layout
