@@ -156,6 +156,10 @@ def main():
             detail["mfu_pct_device"] = round(
                 100.0 * stats["flops"] / (stats["device_s"] * 197e12), 2)
 
+    # sections that errored non-fatally; surfaced LOUDLY at the top level
+    # of the output JSON so a partially-failed bench can't read as green
+    degraded: list = []
+
     # pipelined steady state: issue batch k+1's dispatch before forcing
     # batch k's download — the serving deployment pattern; the download
     # overlaps the next batch's compute (measured: 0.70 s sync -> 0.39 s
@@ -178,6 +182,7 @@ def main():
             n_songs * song_s / pipe_wall, 1)
     except Exception as e:  # pragma: no cover - environment transients
         detail["pipelined_error"] = f"{type(e).__name__}"[:60]
+        degraded.append("pipelined")
 
     # --- saturation sweep: where does per-chip aggregate RTF stop scaling
     # with batch size? N=8 above was chosen, not derived; this is the
@@ -215,15 +220,19 @@ def main():
             except Exception as e:  # pragma: no cover
                 sweep[str(n)] = {"error": f"{type(e).__name__}"[:60],
                                  "agg_rtf_best": 0}
+                degraded.append(f"sweep_{n}")
         detail["throughput_sweep"] = sweep
         knee = max(sweep, key=lambda k: sweep[k].get("agg_rtf_best") or 0)
         detail["throughput_knee_songs"] = int(knee)
 
+    if degraded:  # loud, and top-level — not buried in detail
+        print(f"WARNING: bench sections degraded: {degraded}", file=sys.stderr)
     print(json.dumps({
         "metric": "rtf_48k_rvc_v2_convert_per_chip",
         "value": round(worst_best, 2),
         "unit": "x_realtime",
         "vs_baseline": round(worst_best / 50.0, 3),
+        "degraded": degraded,
         "detail": detail,
     }))
 

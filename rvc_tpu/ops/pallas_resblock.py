@@ -404,6 +404,15 @@ def _fused_resblock1_bwd(x, gy, ws, bs, spec, S, interpret):
     SL = sum(m[2] for m in conv_meta)
     SR = sum(m[1][-1] for m in conv_meta) - SL
     HALO = SL + SR
+    # guard the env-tunable backward tile exactly like the forward TILE:
+    # a non-multiple-of-8 value breaks Mosaic's 8-aligned slice shapes with
+    # an obscure compile error, and BWD_TILE ≤ halo makes the per-step DMA
+    # read past the padded buffer
+    if BWD_TILE % 8 != 0 or BWD_TILE <= HALO:
+        raise ValueError(
+            f"RVC_TPU_RESBLOCK_TILE_BWD={BWD_TILE} invalid: must be a "
+            f"multiple of 8 and > the chain's total halo reach "
+            f"({HALO} frames here)")
     L0b = BWD_TILE + 2 * HALO + (-(BWD_TILE + 2 * HALO)) % 8
     slope = float(__import__("ml_dtypes").bfloat16(0.1)) \
         if x.dtype == jnp.bfloat16 else 0.1

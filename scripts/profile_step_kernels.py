@@ -22,7 +22,6 @@ import numpy as np
 
 def main():
     import dataclasses
-    import functools
 
     import jax
     import jax.numpy as jnp
@@ -35,7 +34,6 @@ def main():
 
     from rvc_tpu.config import preset
     from rvc_tpu.train.step import Trainer
-    from rvc_tpu.utils.fastinit import fast_init
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     cfg = preset("48k_v2")
@@ -65,31 +63,9 @@ def main():
     dtype = (jnp.bfloat16 if any(dev.platform != "cpu"
                                  for dev in jax.devices()) else jnp.float32)
     trainer = Trainer(cfg, dtype=dtype)
-    params_g = fast_init(functools.partial(
-        trainer.synth.init,
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}),
-        batch["phone"], batch["phone_lengths"], batch["pitch"],
-        batch["pitchf"], batch["spec"], batch["spec_lengths"], batch["sid"])
-    seg = jnp.zeros((batch_size, t.segment_size, 1), dtype)
-    params_d = fast_init(functools.partial(
-        trainer.disc.init, jax.random.PRNGKey(2)), seg, seg)
-
-    from rvc_tpu.train import balancer as bal
-    from rvc_tpu.train.step import (D_LOSS_KEYS, G_LOSS_KEYS, TrainState,
-                                    lr_schedule, make_optimizer)
-
-    trainer.sched_g = lr_schedule(t.learning_rate, t.lr_decay, 100)
-    trainer.sched_d = lr_schedule(t.learning_rate, t.lr_decay, 100)
-    trainer.tx_g = make_optimizer(trainer.sched_g, t.betas, t.eps)
-    trainer.tx_d = make_optimizer(trainer.sched_d, t.betas, t.eps)
-    state = TrainState(
-        params_g=params_g, params_d=params_d,
-        opt_g=trainer.tx_g.init(params_g["params"]),
-        opt_d=trainer.tx_d.init(params_d["params"]),
-        step=jnp.zeros((), jnp.int32),
-        balancer_g=bal.init_state(len(G_LOSS_KEYS)),
-        balancer_d=bal.init_state(len(D_LOSS_KEYS)),
-    )
+    # use the real state constructor so this census can't drift from the
+    # step the bench actually runs (advisor r4)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, fast_params=True)
 
     step = trainer.step_fn()
     compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
@@ -103,10 +79,16 @@ def main():
     op_counts = collections.Counter()
     mod_counts = collections.Counter()
     n = 0
+    unparsed = 0
     for line in body.splitlines():
         line = line.strip()
-        mo = re.match(r"[%\w.\-]+ = \S+ ([\w\-]+)\(", line)
+        # match the opcode as the last identifier before '(' regardless of
+        # the result shape — tuple shapes like `(f32[..], f32[..])` contain
+        # spaces, which the old `\S+` shape matcher silently dropped
+        mo = re.match(r"[%\w.\-]+ = (?:\([^)]*\)|\S+)\s+([\w\-]+)\(", line)
         if not mo:
+            if "=" in line and "(" in line:
+                unparsed += 1
             continue
         op = mo.group(1)
         if op in skip:
@@ -125,6 +107,7 @@ def main():
 
     print(json.dumps({
         "total_entry_instructions": n,
+        "unparsed_candidate_lines": unparsed,
         "top_ops": op_counts.most_common(15),
         "top_modules": mod_counts.most_common(30),
     }, indent=1))
