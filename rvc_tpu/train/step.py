@@ -114,6 +114,128 @@ class FlatAdamW:
                 "v": ravel_pytree(v_tree)[0].astype(jnp.float32)}
 
 
+class GroupedAdamW:
+    """AdamW with the small parameter leaves updated in ONE flat f32 vector
+    and the large leaves per-leaf — optax.adamw semantics on both sides
+    (same bias correction, decoupled weight decay, schedule indexed by the
+    pre-increment count, parity-tested vs optax).
+
+    Why hybrid: the GAN step is kernel-count bound (r4 census: ~830
+    standalone per-leaf optimizer adds, most from the hundreds of small
+    weight-norm g/bias leaves), but fully raveling the space (FlatAdamW)
+    REGRESSES the step — large conv kernels lose their tiled layouts and
+    every consumer pays a relayout copy. Grouping only leaves below
+    ``small_threshold`` elements (default 64k) collapses ~80% of the leaf
+    count into one vector update while every large conv kernel keeps its
+    native layout and donated aliasing. Measured r5 (48k_v2, batch 4):
+    see BASELINE.md round-5 table.
+    """
+
+    def __init__(self, lr_schedule, betas=(0.8, 0.99), eps=1e-9,
+                 weight_decay=0.01, small_threshold=65536):
+        self.sched = lr_schedule
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.wd = weight_decay
+        self.thr = small_threshold
+
+    def _split(self, leaves):
+        small = [i for i, l in enumerate(leaves) if l.size < self.thr]
+        big = [i for i, l in enumerate(leaves) if l.size >= self.thr]
+        return small, big
+
+    def init(self, params):
+        leaves = jax.tree_util.tree_leaves(params)
+        small, big = self._split(leaves)
+        n_small = sum(leaves[i].size for i in small)
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "m_flat": jnp.zeros((n_small,), jnp.float32),
+            "v_flat": jnp.zeros((n_small,), jnp.float32),
+            "m_big": [jnp.zeros(leaves[i].shape, jnp.float32) for i in big],
+            "v_big": [jnp.zeros(leaves[i].shape, jnp.float32) for i in big],
+        }
+
+    def apply(self, grads, state, params):
+        """(grads_tree, state, params_tree) -> (new_params_tree, new_state)."""
+        new_params, new_state, _ = self.apply_with_norm(grads, state, params)
+        return new_params, new_state
+
+    def apply_with_norm(self, grads, state, params):
+        """Like ``apply`` but also returns the global grad norm, computed
+        incrementally from the buffers the update already touches — the
+        step's standalone optax.global_norm metric was ~1,100 entry
+        instructions of per-leaf square/sum/add (r5 census) for a number
+        that only feeds TensorBoard."""
+        g_leaves = jax.tree_util.tree_leaves(grads)
+        p_leaves, treedef = jax.tree_util.tree_flatten(params)
+        small, big = self._split(p_leaves)
+        c = state["count"] + 1
+        cf = c.astype(jnp.float32)
+        bc1 = 1.0 - self.b1 ** cf
+        bc2 = 1.0 - self.b2 ** cf
+        lr = self.sched(state["count"])
+        new_leaves: list = list(p_leaves)
+        sumsq = jnp.float32(0.0)
+
+        m_flat, v_flat = state["m_flat"], state["v_flat"]
+        if small:
+            gf = jnp.concatenate(
+                [g_leaves[i].ravel() for i in small]).astype(jnp.float32)
+            pf = jnp.concatenate(
+                [p_leaves[i].ravel() for i in small]).astype(jnp.float32)
+            sumsq = sumsq + jnp.sum(jnp.square(gf))
+            m_flat = self.b1 * m_flat + (1.0 - self.b1) * gf
+            v_flat = self.b2 * v_flat + (1.0 - self.b2) * jnp.square(gf)
+            p2 = pf - lr * ((m_flat / bc1) / (jnp.sqrt(v_flat / bc2) + self.eps)
+                            + self.wd * pf)
+            off = 0
+            for i in small:
+                n = p_leaves[i].size
+                new_leaves[i] = p2[off : off + n].reshape(
+                    p_leaves[i].shape).astype(p_leaves[i].dtype)
+                off += n
+
+        m_big, v_big = [], []
+        big_sq = []
+        for j, i in enumerate(big):
+            g32 = g_leaves[i].astype(jnp.float32)
+            p32 = p_leaves[i].astype(jnp.float32)
+            g2 = jnp.square(g32)
+            big_sq.append(jnp.sum(g2))
+            m = self.b1 * state["m_big"][j] + (1.0 - self.b1) * g32
+            v = self.b2 * state["v_big"][j] + (1.0 - self.b2) * g2
+            new_leaves[i] = (
+                p32 - lr * ((m / bc1) / (jnp.sqrt(v / bc2) + self.eps)
+                            + self.wd * p32)).astype(p_leaves[i].dtype)
+            m_big.append(m)
+            v_big.append(v)
+        if big_sq:
+            sumsq = sumsq + jnp.sum(jnp.stack(big_sq))
+
+        new_state = {"count": c, "m_flat": m_flat, "v_flat": v_flat,
+                     "m_big": m_big, "v_big": v_big}
+        return (jax.tree_util.tree_unflatten(treedef, new_leaves), new_state,
+                jnp.sqrt(sumsq))
+
+    def state_from_trees(self, m_tree, v_tree, count, params):
+        """Grouped state from param-congruent moment trees (torch Adam
+        resume: compat/optimizer_import fills congruent trees)."""
+        m_leaves = jax.tree_util.tree_leaves(m_tree)
+        v_leaves = jax.tree_util.tree_leaves(v_tree)
+        p_leaves = jax.tree_util.tree_leaves(params)
+        small, big = self._split(p_leaves)
+        cat = (lambda ls, idx: jnp.concatenate(
+            [jnp.asarray(ls[i]).ravel() for i in idx]).astype(jnp.float32)
+            if idx else jnp.zeros((0,), jnp.float32))
+        return {
+            "count": jnp.asarray(count, jnp.int32),
+            "m_flat": cat(m_leaves, small), "v_flat": cat(v_leaves, small),
+            "m_big": [jnp.asarray(m_leaves[i], jnp.float32) for i in big],
+            "v_big": [jnp.asarray(v_leaves[i], jnp.float32) for i in big],
+        }
+
+
 class _OptaxApply:
     """optax.adamw with the (grads, state, params) -> (new_params, state)
     interface the step uses. Measured on-chip (r4): the per-leaf form is
@@ -135,8 +257,23 @@ class _OptaxApply:
 
 
 def make_optimizer(lr_schedule, betas=(0.8, 0.99), eps=1e-9, weight_decay=0.01):
-    """AdamW matching torch defaults (reference training_cli.py:209-239)."""
-    return _OptaxApply(make_optax_adamw(lr_schedule, betas, eps, weight_decay))
+    """AdamW matching torch defaults (reference training_cli.py:209-239).
+
+    RVC_TPU_OPT selects the implementation: ``grouped`` (default — hybrid
+    flat-small/per-leaf-big, see GroupedAdamW), ``optax`` (plain per-leaf),
+    ``flat`` (fully raveled; regresses conv layouts, kept for non-conv
+    spaces)."""
+    import os
+
+    kind = os.environ.get("RVC_TPU_OPT", "grouped")
+    if kind == "flat":
+        return FlatAdamW(lr_schedule, betas, eps, weight_decay)
+    if kind == "optax":
+        return _OptaxApply(make_optax_adamw(lr_schedule, betas, eps,
+                                            weight_decay))
+    if kind != "grouped":
+        raise ValueError(f"RVC_TPU_OPT={kind!r}: expected grouped|optax|flat")
+    return GroupedAdamW(lr_schedule, betas, eps, weight_decay)
 
 
 def lr_schedule(base_lr: float, lr_decay: float, steps_per_epoch: int):
@@ -152,7 +289,8 @@ class Trainer:
     """Owns the models/optimizers and the jitted step."""
 
     def __init__(self, config: RVCConfig, dtype=jnp.float32, balancer_active=True,
-                 fuse_resblocks: bool | None = None):
+                 fuse_resblocks: bool | None = None,
+                 pack_discriminator: bool | None = None):
         self.config = config
         self.dtype = dtype
         self.balancer_active = balancer_active
@@ -164,6 +302,19 @@ class Trainer:
             # dryrun)
             fuse_resblocks = (jax.default_backend() in ("tpu", "axon")
                               and jax.device_count() == 1)
+        if pack_discriminator is None:
+            # period-pair packed ensemble (models/discriminator.py
+            # packed_mpd_apply). MEASURED SLOWER on v5e (see its
+            # docstring: grouped-conv bwd + pair padding beat the halved
+            # launch count; step 13.6 → 11.8 steps/s), so the default is
+            # OFF everywhere; RVC_TPU_PACK_DISC=1 opts in for re-measure
+            # on other topologies/hardware.
+            import os
+
+            pack_discriminator = (
+                os.environ.get("RVC_TPU_PACK_DISC") == "1"
+                and config.model.disc_scale == 1.0)
+        self.pack_discriminator = pack_discriminator
         self.synth = Synthesizer.from_config(
             config.model, config.data, config.train.segment_size, dtype=dtype,
             fuse_resblocks=fuse_resblocks, fuse_wn=fuse_resblocks,
@@ -225,6 +376,12 @@ class Trainer:
         cfg = self.config
         t, d = cfg.train, cfg.data
         synth, disc = self.synth, self.disc
+        if self.pack_discriminator:
+            from ..models.discriminator import packed_mpd_apply
+
+            disc_apply = functools.partial(packed_mpd_apply, disc)
+        else:
+            disc_apply = disc.apply
         seg_frames = self.seg_frames
         use_f0 = cfg.model.use_f0
         msml = self.msml
@@ -270,7 +427,7 @@ class Trainer:
             fake = jax.lax.stop_gradient(y_hat)
 
             def d_loss_fn(params_d, bstate):
-                y_d_r, y_d_g, _, _ = disc.apply(params_d, wave_seg, fake)
+                y_d_r, y_d_g, _, _ = disc_apply(params_d, wave_seg, fake)
                 loss_disc, _ = L.discriminator_loss(y_d_r, y_d_g)
                 if t.c_gp > 0:
                     # gradient penalty on a random real/fake interpolation
@@ -280,7 +437,7 @@ class Trainer:
                     interp = alpha * wave_seg + (1.0 - alpha) * fake
 
                     def d_out(x):
-                        r, g_, _, _ = disc.apply(params_d, wave_seg, x)
+                        r, g_, _, _ = disc_apply(params_d, wave_seg, x)
                         ld, _ = L.discriminator_loss(r, g_)
                         return ld
 
@@ -299,15 +456,19 @@ class Trainer:
             (loss_d_all, (loss_disc, new_bd)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
             )(state.params_d, state.balancer_d)
-            new_pd, new_opt_d = self.tx_d.apply(
-                d_grads["params"], state.opt_d, state.params_d["params"]
-            )
+            if hasattr(self.tx_d, "apply_with_norm"):
+                new_pd, new_opt_d, grad_norm_d = self.tx_d.apply_with_norm(
+                    d_grads["params"], state.opt_d, state.params_d["params"])
+            else:
+                new_pd, new_opt_d = self.tx_d.apply(
+                    d_grads["params"], state.opt_d, state.params_d["params"])
+                grad_norm_d = optax.global_norm(d_grads["params"])
             new_params_d = {"params": new_pd}
 
             # ---- generator update through the UPDATED discriminator
             def g_loss_fn(y_hat_in, y_hat_mel_in, flows_in, bstate):
                 z_p_, logs_q_, m_p_, logs_p_ = flows_in
-                y_d_r, y_d_g, fmap_r, fmap_g = disc.apply(new_params_d, wave_seg, y_hat_in)
+                y_d_r, y_d_g, fmap_r, fmap_g = disc_apply(new_params_d, wave_seg, y_hat_in)
                 if msml is not None:
                     loss_mel = msml(y_hat_in[..., 0].astype(jnp.float32),
                                     wave_seg[..., 0].astype(jnp.float32))
@@ -369,13 +530,14 @@ class Trainer:
             )
             g_grads = g_vjp(cotangents)[0]
 
-            new_pg, new_opt_g = self.tx_g.apply(
-                g_grads["params"], state.opt_g, state.params_g["params"]
-            )
+            if hasattr(self.tx_g, "apply_with_norm"):
+                new_pg, new_opt_g, grad_norm_g = self.tx_g.apply_with_norm(
+                    g_grads["params"], state.opt_g, state.params_g["params"])
+            else:
+                new_pg, new_opt_g = self.tx_g.apply(
+                    g_grads["params"], state.opt_g, state.params_g["params"])
+                grad_norm_g = optax.global_norm(g_grads["params"])
             new_params_g = {"params": new_pg}
-
-            grad_norm_g = optax.global_norm(g_grads["params"])
-            grad_norm_d = optax.global_norm(d_grads["params"])
 
             metrics = {
                 "loss_disc": loss_disc, "loss_disc_all": loss_d_all,

@@ -26,15 +26,12 @@ def main():
                      ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import functools
+    import dataclasses
 
     import jax.numpy as jnp
 
     from rvc_tpu.config import preset
     from rvc_tpu.train.step import Trainer
-    from rvc_tpu.utils.fastinit import fast_init
-
-    import dataclasses
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     cfg = preset("48k_v2")
@@ -65,34 +62,10 @@ def main():
     dtype = (jnp.bfloat16 if any(dev.platform != "cpu"
                                  for dev in jax.devices()) else jnp.float32)
     trainer = Trainer(cfg, dtype=dtype)
-
-    # fast param materialization (init would compile the forward; see
-    # utils/fastinit.py), then the optimizer/balancer state as in init_state
-    params_g = fast_init(functools.partial(
-        trainer.synth.init,
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}),
-        batch["phone"], batch["phone_lengths"], batch["pitch"],
-        batch["pitchf"], batch["spec"], batch["spec_lengths"], batch["sid"])
-    seg = jnp.zeros((batch_size, t.segment_size, 1), dtype)
-    params_d = fast_init(functools.partial(
-        trainer.disc.init, jax.random.PRNGKey(2)), seg, seg)
-
-    from rvc_tpu.train import balancer as bal
-    from rvc_tpu.train.step import (D_LOSS_KEYS, G_LOSS_KEYS, TrainState,
-                                    lr_schedule, make_optimizer)
-
-    trainer.sched_g = lr_schedule(t.learning_rate, t.lr_decay, 100)
-    trainer.sched_d = lr_schedule(t.learning_rate, t.lr_decay, 100)
-    trainer.tx_g = make_optimizer(trainer.sched_g, t.betas, t.eps)
-    trainer.tx_d = make_optimizer(trainer.sched_d, t.betas, t.eps)
-    state = TrainState(
-        params_g=params_g, params_d=params_d,
-        opt_g=trainer.tx_g.init(params_g["params"]),
-        opt_d=trainer.tx_d.init(params_d["params"]),
-        step=jnp.zeros((), jnp.int32),
-        balancer_g=bal.init_state(len(G_LOSS_KEYS)),
-        balancer_d=bal.init_state(len(D_LOSS_KEYS)),
-    )
+    # the real state constructor (fast_params: eval_shape + numpy random —
+    # init compiles dominate wall on 1-core hosts and the bench only needs
+    # finite params)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, fast_params=True)
 
     step = trainer.step_fn()
     state, metrics = step(state, batch, jax.random.PRNGKey(0))  # compile

@@ -235,3 +235,40 @@ def test_discriminator(rng):
     assert len(rs) == 7  # 1 scale + 6 periods
     assert all(np.isfinite(np.asarray(r)).all() for r in rs)
     assert len(frs[0]) == 7  # DiscriminatorS fmap count
+
+
+@pytest.mark.heavy
+def test_packed_discriminator_matches_unpacked(rng):
+    """packed_mpd_apply (period pairs sharing grouped convs — the
+    launch-bound train step's ~2× disc kernel reduction) must reproduce
+    the per-period module exactly: logits AND every feature map, real and
+    fake, on an awkward length (T not divisible by most periods →
+    reflect-fold + edge-mask paths all exercised)."""
+    from conftest import finit
+
+    from rvc_tpu.models.discriminator import packed_mpd_apply
+
+    d = MultiPeriodDiscriminator(version="v2")
+    y = jnp.asarray(rng.standard_normal((2, 1601, 1)).astype(np.float32))
+    yh = jnp.asarray(rng.standard_normal((2, 1601, 1)).astype(np.float32))
+    params = finit(d, y, yh)
+    rs, gs, frs, fgs = d.apply(params, y, yh)
+    prs, pgs, pfrs, pfgs = packed_mpd_apply(d, params, y, yh)
+    assert len(prs) == len(rs) == 9
+    for i, (a, b) in enumerate(zip(rs, prs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-5, err_msg=f"disc {i}")
+    for i, (a, b) in enumerate(zip(gs, pgs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-5)
+    for i, (fa, fb) in enumerate(zip(frs, pfrs)):
+        assert len(fa) == len(fb), i
+        for j, (ma, mb) in enumerate(zip(fa, fb)):
+            assert ma.shape == mb.shape, (i, j)
+            np.testing.assert_allclose(np.asarray(mb), np.asarray(ma),
+                                       atol=2e-5, rtol=1e-5,
+                                       err_msg=f"fmap {i}.{j}")
+    for fa, fb in zip(fgs, pfgs):
+        for ma, mb in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(mb), np.asarray(ma),
+                                       atol=2e-5, rtol=1e-5)

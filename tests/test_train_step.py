@@ -160,6 +160,59 @@ def test_flat_adamw_matches_optax():
                                        atol=1e-7, rtol=1e-6)
 
 
+def test_grouped_adamw_matches_optax():
+    """GroupedAdamW (flat small leaves + per-leaf big leaves) must track
+    optax.adamw step-for-step across the size threshold — the r5 default
+    optimizer for the kernel-count-bound GAN step."""
+    import optax
+
+    from rvc_tpu.train.step import GroupedAdamW, make_optax_adamw
+
+    rng = np.random.default_rng(0)
+    # leaves on BOTH sides of the 64-element threshold used below
+    params = {
+        "small1": jnp.asarray(rng.standard_normal((5, 3)), jnp.float32),
+        "small2": {"b": jnp.asarray(rng.standard_normal((7,)), jnp.float32)},
+        "big1": jnp.asarray(rng.standard_normal((16, 8)), jnp.float32),
+        "big2": jnp.asarray(rng.standard_normal((4, 4, 8)), jnp.float32),
+    }
+    sched = lambda step: 1e-3 * (0.9 ** step)  # noqa: E731
+    tx_ref = make_optax_adamw(sched, betas=(0.8, 0.99), eps=1e-9)
+    tx_grp = GroupedAdamW(sched, betas=(0.8, 0.99), eps=1e-9,
+                          small_threshold=64)
+    s_ref = tx_ref.init(params)
+    s_grp = tx_grp.init(params)
+    assert s_grp["m_flat"].shape == (15 + 7,)
+    assert len(s_grp["m_big"]) == 2
+    p_ref = p_grp = params
+    for i in range(4):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(i).standard_normal(p.shape), jnp.float32),
+            p_ref)
+        upd, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+        p_grp, s_grp = tx_grp.apply(grads, s_grp, p_grp)
+        for leaf_r, leaf_g in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_grp)):
+            np.testing.assert_allclose(np.asarray(leaf_g), np.asarray(leaf_r),
+                                       atol=1e-7, rtol=1e-6)
+
+
+def test_grouped_adamw_state_from_trees():
+    from rvc_tpu.train.step import GroupedAdamW
+
+    params = {"big": jnp.ones((16, 8)), "small": jnp.zeros((3,))}
+    m_tree = jax.tree.map(lambda p: p * 0.5, params)
+    v_tree = jax.tree.map(lambda p: p * 0.25 + 1.0, params)
+    tx = GroupedAdamW(lambda s: 1e-3, small_threshold=64)
+    st = tx.state_from_trees(m_tree, v_tree, 7, params)
+    assert int(st["count"]) == 7
+    # tree_leaves order is alphabetical: big first, small second
+    np.testing.assert_allclose(np.asarray(st["m_big"][0]), 0.5)
+    np.testing.assert_allclose(np.asarray(st["m_flat"]), 0.0)
+    np.testing.assert_allclose(np.asarray(st["v_flat"]), 1.0)
+
+
 def test_flat_adamw_state_from_trees():
     from jax.flatten_util import ravel_pytree
 
