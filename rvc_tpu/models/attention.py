@@ -50,6 +50,8 @@ def _band_to_dense(band: jax.Array, T_s: int, w: int) -> jax.Array:
     Pure pad/reshape (the skew trick applied at band width instead of the
     textbook 2T-1): row t of the padded band shifts right by t when the
     trailing dim shrinks by one, which is exactly the diagonal alignment.
+    (A take_along_axis formulation was measured 13× SLOWER on TPU —
+    per-row minor-dim gathers do not vectorize; keep the relayouts.)
     """
     B, H, T, W = band.shape
     padded = jnp.pad(band, ((0, 0), (0, 0), (0, 0), (0, T_s)))  # (B,H,T,W+T_s)
@@ -87,10 +89,12 @@ class MultiHeadAttention(nn.Module):
     window_size: int | None = None
     heads_share: bool = True
     p_dropout: float = 0.0
+    fuse: bool = False  # Pallas banded attention (ops/pallas_attention)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, c: jax.Array, attn_mask=None, deterministic=True):
+    def __call__(self, x: jax.Array, c: jax.Array, attn_mask=None, deterministic=True,
+                 lengths=None):
         H = self.n_heads
         d_k = self.channels // H
         conv = lambda name, out: Conv1d(  # noqa: E731
@@ -102,6 +106,41 @@ class MultiHeadAttention(nn.Module):
 
         B, T_t, _ = q.shape
         T_s = k.shape[1]
+
+        if (self.fuse and self.window_size is not None and self.heads_share
+                and x is c and lengths is not None
+                and (deterministic or self.p_dropout == 0)):
+            # ONE Pallas launch: scores never touch HBM (the XLA path's
+            # skew relayouts + f32 softmax traffic were 1.6 of the 1.86 ms
+            # per layer at song shapes). Numerically identical — see
+            # ops/pallas_attention.
+            from ..ops.pallas_attention import banded_rel_attention
+
+            w = self.window_size
+            rel_std = d_k**-0.5
+            emb_rel_k = self.param(
+                "emb_rel_k",
+                lambda key, s: rel_std * jax.random.normal(key, s, jnp.float32),
+                (1, 2 * w + 1, d_k),
+            )
+            emb_rel_v = self.param(
+                "emb_rel_v",
+                lambda key, s: rel_std * jax.random.normal(key, s, jnp.float32),
+                (1, 2 * w + 1, d_k),
+            )
+            qh = q.reshape(B, T_t, H, d_k).transpose(0, 2, 1, 3)
+            kh = k.reshape(B, T_s, H, d_k).transpose(0, 2, 1, 3)
+            vh = v.reshape(B, T_s, H, d_k).transpose(0, 2, 1, 3)
+            out = banded_rel_attention(
+                qh, kh, vh,
+                emb_rel_k[0].astype(self.dtype),
+                emb_rel_v[0].astype(self.dtype),
+                lengths, window=w, scale=1.0 / math.sqrt(d_k),
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, T_t, self.channels)
+            return Conv1d(self.channels, self.out_channels, 1,
+                          dtype=self.dtype, name="conv_o")(out)
         # (B, T, C) -> (B, H, T, d_k); channel blocking matches torch's
         # view(b, heads, d_k, t) over a (B, C, T) tensor.
         qh = q.reshape(B, T_t, H, d_k).transpose(0, 2, 1, 3)
@@ -184,12 +223,15 @@ class Encoder(nn.Module):
     kernel_size: int = 1
     p_dropout: float = 0.0
     window_size: int = 10
+    fuse: bool = False  # Pallas banded attention for every layer
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask, deterministic=True):
         # x: (B, T, C); x_mask: (B, T, 1)
         attn_mask = (x_mask[:, None, :, 0][..., None] * x_mask[:, None, None, :, 0])
+        # prefix-mask lengths for the fused kernel (sequence_mask semantics)
+        lengths = jnp.sum(x_mask[..., 0], axis=1).astype(jnp.int32)
         x = x * x_mask
         for i in range(self.n_layers):
             y = MultiHeadAttention(
@@ -198,9 +240,10 @@ class Encoder(nn.Module):
                 self.n_heads,
                 window_size=self.window_size,
                 p_dropout=self.p_dropout,
+                fuse=self.fuse,
                 dtype=self.dtype,
                 name=f"attn_layers_{i}",
-            )(x, x, attn_mask, deterministic)
+            )(x, x, attn_mask, deterministic, lengths=lengths)
             x = LayerNorm(self.hidden_channels, dtype=self.dtype, name=f"norm_layers_1_{i}")(x + y)
             y = FFN(
                 self.hidden_channels,

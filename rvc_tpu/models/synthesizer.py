@@ -44,6 +44,7 @@ class TextEncoder(nn.Module):
     kernel_size: int
     p_dropout: float
     f0: bool = True
+    fuse_attention: bool = False  # Pallas banded attention (TPU inference)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -61,6 +62,7 @@ class TextEncoder(nn.Module):
             self.n_layers,
             self.kernel_size,
             self.p_dropout,
+            fuse=self.fuse_attention,
             dtype=self.dtype,
             name="encoder",
         )(x, x_mask, deterministic)
@@ -138,13 +140,15 @@ class Synthesizer(nn.Module):
     use_f0: bool = True
     fuse_resblocks: bool = False  # Pallas fused resblock chain (TPU inference)
     fuse_wn: bool = False  # Pallas fused WN stacks in enc_q + flows
+    fuse_attention: bool = False  # Pallas banded attention in enc_p
     mesh: Any = None  # dp mesh: shard_map'd fused kernels (inference)
     dtype: Any = jnp.float32
 
     @classmethod
     def from_config(cls, model: ModelConfig, data: DataConfig, segment_size: int,
                     dtype=jnp.float32, fuse_resblocks: bool = False,
-                    fuse_wn: bool = False) -> "Synthesizer":
+                    fuse_wn: bool = False,
+                    fuse_attention: bool = False) -> "Synthesizer":
         return cls(
             spec_channels=data.spec_channels,
             segment_size=segment_size // data.hop_length,
@@ -168,6 +172,7 @@ class Synthesizer(nn.Module):
             use_f0=model.use_f0,
             fuse_resblocks=fuse_resblocks,
             fuse_wn=fuse_wn,
+            fuse_attention=fuse_attention,
             dtype=dtype,
         )
 
@@ -182,6 +187,7 @@ class Synthesizer(nn.Module):
             self.kernel_size,
             self.p_dropout,
             f0=self.use_f0,
+            fuse_attention=self.fuse_attention,
             dtype=self.dtype,
         )
         if self.use_f0:

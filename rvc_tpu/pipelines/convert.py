@@ -108,6 +108,10 @@ class VoiceConverter:
         self.synth = Synthesizer(
             **{**synth_kwargs, "dtype": dtype, "fuse_resblocks": fuse,
                "fuse_wn": synth_kwargs.get("fuse_wn", False),
+               # banded-attention kernel: single-chip only (no partition
+               # rules yet); numerically identical to the XLA path
+               "fuse_attention": synth_kwargs.get(
+                   "fuse_attention", fuse and mesh is None),
                "mesh": mesh if fuse else None})
         self._mesh = mesh
         self.synth_params = synth_params
