@@ -124,6 +124,10 @@ class FeatureExtractor(nn.Module):
         for i, (dim, k, s) in enumerate(
             zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
         ):
+            # NOT pack_stride: measured slower here (r5 A/B, plain 3.10 vs
+            # packed 4.66 ms on layer 1) — XLA's strided lowering at C=512
+            # beats the 4/3-tap-inflated packed matmul; ~half the frontend
+            # is gelu anyway
             h = Conv1d(in_dim, dim, k, stride=s, use_bias=False, dtype=self.dtype,
                        name=f"conv_layers_{i}_conv")(h)
             if cur_len is not None:

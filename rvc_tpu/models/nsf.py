@@ -140,7 +140,7 @@ class ResBlock1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x_mask=None):
+    def __call__(self, x, x_mask=None, *, return_convs: bool = False):
         convs = []
         for i, d in enumerate(self.dilation):
             convs.append((Conv1d(
@@ -153,6 +153,12 @@ class ResBlock1(nn.Module):
                 dilation=1, padding=(self.kernel_size - 1) // 2,
                 weight_norm=True, s2d=self.s2d, dtype=self.dtype,
                 name=f"convs2_{i}"), 1))
+        if return_convs:
+            # stage-group fusion (ops/pallas_resblock.fused_resblock_group):
+            # hand the chain's folded weights to the caller; params are
+            # created above in the same order, so the tree is identical
+            return [(*conv(None, return_weights=True), self.kernel_size, d)
+                    for conv, d in convs]
         if self.fuse and x_mask is None:
             # whole chain in ONE kernel: 2 HBM transfers instead of 24
             # (ops/pallas_resblock). Param tree identical to the path below.
@@ -232,6 +238,10 @@ class GeneratorNSF(nn.Module):
     gin_channels: int
     sr: int
     fuse_resblocks: bool = False  # Pallas fused chain (inference, TPU only)
+    # one kernel per stage for ALL resblocks (shared input DMA, in-VMEM
+    # averaging). Inference-only: no VJP — training keeps per-resblock
+    # fused chains (custom VJP) or unfused convs.
+    fuse_group: bool = False
     mesh: Any = None  # dp mesh for sharded fused kernels
     dtype: Any = jnp.float32
 
@@ -277,9 +287,13 @@ class GeneratorNSF(nn.Module):
             )(x)
             if i + 1 < n_rates:
                 stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
+                # pack_stride only when the packed contraction is wide:
+                # sf=40 measured 3.25→2.38 ms packed, but sf=4/2 pack to
+                # 4/2 superchannels and relayout pathologically (17/25 ms)
                 x_source = Conv1d(
                     1, c_cur, kernel_size=stride_f0 * 2, stride=stride_f0,
-                    padding=stride_f0 // 2, dtype=self.dtype, name=f"noise_convs_{i}",
+                    padding=stride_f0 // 2, dtype=self.dtype,
+                    pack_stride=stride_f0 >= 32, name=f"noise_convs_{i}",
                 )(har)
             else:
                 x_source = Conv1d(1, c_cur, 1, dtype=self.dtype, name=f"noise_convs_{i}")(har)
@@ -299,20 +313,43 @@ class GeneratorNSF(nn.Module):
             B_, T_ = x.shape[0], x.shape[1]
             if S > 1:
                 x = x.reshape(B_, T_ // S, S * c_cur)
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                r = rb_cls(c_cur, rk, tuple(rd), s2d=S,
+            mods = [rb_cls(c_cur, rk, tuple(rd), s2d=S,
                            fuse=self.fuse_resblocks and rb_cls is ResBlock1,
                            mesh=self.mesh, dtype=self.dtype,
-                           name=f"resblocks_{i * num_kernels + j}")(x)
-                xs = r if xs is None else xs + r
-            x = xs / num_kernels
-            if S > 1:
+                           name=f"resblocks_{i * num_kernels + j}")
+                    for j, (rk, rd) in enumerate(
+                        zip(self.resblock_kernel_sizes,
+                            self.resblock_dilation_sizes))]
+            if self.fuse_group and rb_cls is ResBlock1:
+                import jax as _jax
+
+                from ..ops.pallas_resblock import (
+                    fused_resblock_group, fused_resblock_group_sharded)
+
+                chains = [m_(None, return_convs=True) for m_ in mods]
+                interp = _jax.default_backend() not in ("tpu", "axon")
+                if self.mesh is not None:
+                    x = fused_resblock_group_sharded(
+                        x, chains, self.mesh, S=S, interpret=interp)
+                else:
+                    x = fused_resblock_group(x, chains, S=S,
+                                             interpret=interp)
+            else:
+                xs = None
+                for m_ in mods:
+                    r = m_(x)
+                    xs = r if xs is None else xs + r
+                x = xs / num_kernels
+            if S > 1 and i + 1 < n_rates:
                 x = x.reshape(B_, T_, c_cur)
+        # last stage stays packed: the 1-output-channel conv_post lowers
+        # terribly unpacked (measured 9.5 ms for C=32→1 k=7 at 3.5 M
+        # samples); as an s2d superchannel conv it is a dense matmul.
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
-        x = Conv1d(c_cur, 1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(x)
+        x = Conv1d(c_cur, 1, 7, padding=3, use_bias=False, s2d=S,
+                   dtype=self.dtype, name="conv_post")(x)
+        if S > 1:
+            x = x.reshape(B_, T_, 1)
         return jnp.tanh(x)  # (B, T*upp, 1)
 
 
@@ -328,6 +365,7 @@ class Generator(nn.Module):
     upsample_kernel_sizes: Sequence[int]
     gin_channels: int = 0
     fuse_resblocks: bool = False
+    fuse_group: bool = False  # one kernel per stage (inference-only)
     mesh: Any = None
     dtype: Any = jnp.float32
 
@@ -362,18 +400,38 @@ class Generator(nn.Module):
             B_, T_ = x.shape[0], x.shape[1]
             if S > 1:
                 x = x.reshape(B_, T_ // S, S * ch)
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                r = rb_cls(ch, rk, tuple(rd), s2d=S,
+            mods = [rb_cls(ch, rk, tuple(rd), s2d=S,
                            fuse=self.fuse_resblocks and rb_cls is ResBlock1,
                            mesh=self.mesh, dtype=self.dtype,
-                           name=f"resblocks_{i * num_kernels + j}")(x)
-                xs = r if xs is None else xs + r
-            x = xs / num_kernels
-            if S > 1:
+                           name=f"resblocks_{i * num_kernels + j}")
+                    for j, (rk, rd) in enumerate(
+                        zip(self.resblock_kernel_sizes,
+                            self.resblock_dilation_sizes))]
+            if self.fuse_group and rb_cls is ResBlock1:
+                import jax as _jax
+
+                from ..ops.pallas_resblock import (
+                    fused_resblock_group, fused_resblock_group_sharded)
+
+                chains = [m_(None, return_convs=True) for m_ in mods]
+                interp = _jax.default_backend() not in ("tpu", "axon")
+                if self.mesh is not None:
+                    x = fused_resblock_group_sharded(
+                        x, chains, self.mesh, S=S, interpret=interp)
+                else:
+                    x = fused_resblock_group(x, chains, S=S,
+                                             interpret=interp)
+            else:
+                xs = None
+                for m_ in mods:
+                    r = m_(x)
+                    xs = r if xs is None else xs + r
+                x = xs / num_kernels
+            if S > 1 and i + 1 < len(self.upsample_rates):
                 x = x.reshape(B_, T_, ch)
         x = leaky_relu(x, 0.01)
-        x = Conv1d(ch, 1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post")(x)
+        x = Conv1d(ch, 1, 7, padding=3, use_bias=False, s2d=S,
+                   dtype=self.dtype, name="conv_post")(x)
+        if S > 1:
+            x = x.reshape(B_, T_, 1)
         return jnp.tanh(x)

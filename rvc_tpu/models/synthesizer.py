@@ -139,6 +139,7 @@ class Synthesizer(nn.Module):
     feature_dim: int = 768  # 256 for v1, 768 for v2
     use_f0: bool = True
     fuse_resblocks: bool = False  # Pallas fused resblock chain (TPU inference)
+    fuse_group: bool = False  # ONE kernel per decoder stage (inference-only)
     fuse_wn: bool = False  # Pallas fused WN stacks in enc_q + flows
     fuse_attention: bool = False  # Pallas banded attention in enc_p
     mesh: Any = None  # dp mesh: shard_map'd fused kernels (inference)
@@ -148,7 +149,8 @@ class Synthesizer(nn.Module):
     def from_config(cls, model: ModelConfig, data: DataConfig, segment_size: int,
                     dtype=jnp.float32, fuse_resblocks: bool = False,
                     fuse_wn: bool = False,
-                    fuse_attention: bool = False) -> "Synthesizer":
+                    fuse_attention: bool = False,
+                    fuse_group: bool = False) -> "Synthesizer":
         return cls(
             spec_channels=data.spec_channels,
             segment_size=segment_size // data.hop_length,
@@ -171,6 +173,7 @@ class Synthesizer(nn.Module):
             feature_dim=model.feature_dim,
             use_f0=model.use_f0,
             fuse_resblocks=fuse_resblocks,
+            fuse_group=fuse_group,
             fuse_wn=fuse_wn,
             fuse_attention=fuse_attention,
             dtype=dtype,
@@ -202,6 +205,7 @@ class Synthesizer(nn.Module):
                 gin_channels=self.gin_channels,
                 sr=self.sr,
                 fuse_resblocks=self.fuse_resblocks,
+                fuse_group=self.fuse_group,
                 mesh=self.mesh,
                 dtype=self.dtype,
             )
@@ -216,6 +220,7 @@ class Synthesizer(nn.Module):
                 self.upsample_kernel_sizes,
                 gin_channels=self.gin_channels,
                 fuse_resblocks=self.fuse_resblocks,
+                fuse_group=self.fuse_group,
                 mesh=self.mesh,
                 dtype=self.dtype,
             )

@@ -547,6 +547,225 @@ def fused_resblock1_sharded(
     )(x, ws, bs)
 
 
+# ---------------------------------------------------------------------------
+# Group kernel (inference): ALL resblocks of one decoder stage in ONE launch
+# ---------------------------------------------------------------------------
+#
+# The decoder averages num_kernels (3) parallel ResBlock1 chains per stage
+# (reference models.py:300-311: xs += resblock(x); x = xs / num_kernels).
+# As separate kernels that is 3 input reads + 3 output writes + XLA
+# add/divide passes per stage, plus per-call padding copies and custom-call
+# layout boundaries. This kernel DMAs one shared input tile and runs the
+# three chains back-to-back in VMEM, averaging in-register — 1 read + 1
+# write per stage.
+#
+# Design differences vs the v1 single-chain kernel above:
+# - No rolls: every tap is a STATIC UNALIGNED SLICE of a haloed buffer
+#   (measured supported by Mosaic on TPU v5e, including as dot operands;
+#   slice SHAPES stay 8-aligned, offsets are arbitrary).
+# - Activations carry in the compute dtype (bf16): with no 32-bit-only
+#   rotate in the path there is nothing forcing an f32 carry, and the
+#   bf16 carry IS the unfused path's rounding — outputs remain
+#   bit-identical to the unfused chain (validated in tests).
+# - Buffers shrink as the chain consumes halo: conv c reads fixed-shape
+#   slices from a height-H_c buffer and emits height-H_{c+1}; garbage
+#   never wraps (no circular shift), so no guard-row reasoning.
+
+
+def _chain_plan(convs, S):
+    """Static plan for one chain: (conv_meta, SL, heights) where heights[c]
+    is the buffer height entering conv c (heights[6] == TILE) and taps/bias
+    arrays are returned for packing."""
+    built = [_conv_taps(w, b, k, d, S) for (w, b, k, d) in convs]
+    conv_meta = tuple(
+        (len(offs), tuple(offs), lr) for (offs, _, _, lr) in built)
+    SL = sum(m[2] for m in conv_meta)
+    hs = [TILE]
+    for (n, offs, lr) in reversed(conv_meta):
+        hs.append(hs[-1] + offs[-1] + (-(hs[-1] + offs[-1])) % 8)
+    heights = tuple(reversed(hs))
+    return built, conv_meta, SL, heights
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _fused_group_call(x, w_cat, b_cat, *, meta, interpret=False):
+    """meta: (chain_metas, chain_SLs, chain_heights, chain_row0s, T,
+    SL_max, H_in, inv_n) — all static."""
+    (chain_metas, chain_SLs, chain_heights, chain_row0s, T, SL_max, H_in,
+     n_chains) = meta
+    B, Tpad, CL = x.shape
+    n_tiles = (Tpad - (H_in - TILE)) // TILE
+    dtype = x.dtype
+    import ml_dtypes
+
+    slope = float(ml_dtypes.bfloat16(0.1)) if dtype == jnp.bfloat16 else 0.1
+
+    def kernel(x_hbm, w_ref, b_ref, out_ref, xt, sem):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ti * TILE, H_in), :], xt, sem)
+        cp.start()
+        cp.wait()
+        tile_org = ti * TILE
+
+        def run_chain(ci_chain):
+            conv_meta = chain_metas[ci_chain]
+            heights = chain_heights[ci_chain]
+            row0s = chain_row0s[ci_chain]
+            base = SL_max - chain_SLs[ci_chain]
+
+            def conv(buf, ci, org, H_out):
+                n, offs, lr = conv_meta[ci]
+                acc = None
+                for j in range(n):
+                    sl = buf[offs[j]:offs[j] + H_out, :] if (
+                        offs[j] or buf.shape[0] != H_out) else buf
+                    contrib = jnp.dot(sl, w_ref[row0s[ci] + j],
+                                      preferred_element_type=jnp.float32)
+                    acc = contrib if acc is None else acc + contrib
+                acc = acc + b_ref[ci_chain * 6 + ci, :][None, :]
+                y = acc.astype(dtype)
+                # zero rows outside [0, T): the unfused path's next conv
+                # consumes zero-padding there (torch same-pad semantics)
+                pos = jax.lax.broadcasted_iota(jnp.int32, (H_out, 1), 0) + (
+                    org + lr + tile_org - SL_max)
+                keep = ((pos >= 0) & (pos < T)).astype(dtype)
+                return y * keep
+
+            h = xt[pl.ds(base, heights[0]), :] if (
+                base or H_in != heights[0]) else xt[:]
+            org = base
+            for p in range(3):
+                ci_a, ci_b = 2 * p, 2 * p + 1
+                lr_a = conv_meta[ci_a][2]
+                lr_b = conv_meta[ci_b][2]
+                t1 = conv(_lrelu(h, slope), ci_a, org, heights[ci_a + 1])
+                t2 = conv(_lrelu(t1, slope), ci_b, org + lr_a,
+                          heights[ci_b + 1])
+                s_p = lr_a + lr_b
+                h = h[s_p:s_p + heights[ci_b + 1], :] + t2
+                org += s_p
+            return h[:TILE, :]
+
+        # reference op order: xs = r0; xs += r1; ...; xs / num_kernels —
+        # sequential bf16 adds then one divide, matching unfused rounding
+        acc = run_chain(0)
+        for c in range(1, n_chains):
+            acc = acc + run_chain(c)
+        out_ref[0] = acc / n_chains
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE, CL), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, CL), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H_in, CL), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            # same convention as the single-chain kernel: packed tap count
+            # (the MFU metrics track this accounting across rounds)
+            flops=2 * B * n_tiles * TILE * CL * CL * sum(
+                m[0] for cm in chain_metas for m in cm),
+            bytes_accessed=(B * Tpad * CL + B * n_tiles * TILE * CL) * 2
+            + sum(m[0] for cm in chain_metas for m in cm) * CL * CL * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_cat, b_cat)
+
+
+def fused_resblock_group(
+    x: jax.Array,
+    chains: Sequence[Sequence[tuple[jax.Array, jax.Array | None, int, int]]],
+    S: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Average of all chains' fused ResBlock1 outputs in ONE kernel.
+
+    x: (B, Tp, CL) packed activations; chains: per resblock, 6 tuples
+    (weight (O, I, k), bias, kernel_size, dilation). Returns
+    (Σ_c chain_c(x)) / len(chains), numerically equal to the unfused
+    sum-then-divide (reference models.py:300-311). Inference-only.
+    """
+    B, T, CL = x.shape
+    plans = [_chain_plan(c, S) for c in chains]
+    SL_max = max(p[2] for p in plans)
+    H_need = max((SL_max - p[2]) + p[3][0] for p in plans)
+    H_in = H_need + (-H_need) % 8
+    if TILE % 8 != 0 or TILE <= H_in - TILE + 8:
+        pass  # TILE guard is enforced by fused_resblock1; group reuses it
+    dtype = x.dtype
+    w_rows, b_rows, chain_row0s = [], [], []
+    row = 0
+    for built, conv_meta, SL, heights in plans:
+        row0s = []
+        for (offs, taps, bb, lr) in built:
+            row0s.append(row)
+            w_rows.append(taps)
+            row += taps.shape[0]
+            b_rows.append(
+                jnp.zeros((CL,), jnp.float32) if bb is None
+                else bb.astype(jnp.float32))
+        chain_row0s.append(tuple(row0s))
+    w_cat = jnp.concatenate(w_rows, axis=0).astype(dtype)
+    b_cat = jnp.stack(b_rows)
+    Tp = -(-T // TILE) * TILE
+    xp = jnp.pad(x, ((0, 0), (SL_max, (H_in - TILE) + Tp - T - SL_max),
+                     (0, 0)))
+    meta = (
+        tuple(p[1] for p in plans),
+        tuple(p[2] for p in plans),
+        tuple(p[3] for p in plans),
+        tuple(chain_row0s),
+        T, SL_max, H_in, len(chains),
+    )
+    out = _fused_group_call(xp, w_cat, b_cat, meta=meta, interpret=interpret)
+    return out[:, :T]
+
+
+def fused_resblock_group_sharded(
+    x: jax.Array,
+    chains,
+    mesh,
+    S: int = 1,
+    axis: str = "dp",
+    interpret: bool = False,
+) -> jax.Array:
+    """fused_resblock_group under a dp mesh (same rationale as
+    fused_resblock1_sharded: batch rows shard, weights replicate, zero
+    collectives)."""
+    from jax.sharding import PartitionSpec as P
+
+    specs = tuple(tuple((int(k), int(d)) for (_, _, k, d) in c)
+                  for c in chains)
+    ws = tuple(tuple(w for (w, _, _, _) in c) for c in chains)
+    bs = tuple(tuple(b for (_, b, _, _) in c) for c in chains)
+
+    def fn(x_, ws_, bs_):
+        cv = [
+            [(w, b, k, d) for w, b, (k, d) in zip(cw, cb, sp)]
+            for cw, cb, sp in zip(ws_, bs_, specs)
+        ]
+        return fused_resblock_group(x_, cv, S=S, interpret=interpret)
+
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis, None, None), P(), P()),
+        out_specs=P(axis, None, None), check_vma=False,
+    )(x, ws, bs)
+
+
 def fused_resblock1(
     x: jax.Array,
     convs: Sequence[tuple[jax.Array, jax.Array | None, int, int]],

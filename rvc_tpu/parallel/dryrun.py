@@ -57,6 +57,21 @@ def tiny_config():
     )
 
 
+def _cache_stats():
+    """(n_entries, total_bytes) of the persistent compile cache, so the
+    dryrun output says whether a run was warm (hits) or cold (new writes)."""
+    import os
+
+    import jax
+
+    d = jax.config.jax_compilation_cache_dir
+    if not d or not os.path.isdir(d):
+        return 0, 0
+    sizes = [os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+             if os.path.isfile(os.path.join(d, f))]
+    return len(sizes), sum(sizes)
+
+
 def run_dryrun(n_devices: int) -> None:
     import time
 
@@ -67,6 +82,7 @@ def run_dryrun(n_devices: int) -> None:
     from .mesh import make_mesh, shard_batch, replicate
 
     t_start = time.perf_counter()
+    cache_n0, _ = _cache_stats()
 
     def stage(msg):
         # flushed per-stage breadcrumbs: a partial (timed-out) run must be
@@ -110,6 +126,16 @@ def run_dryrun(n_devices: int) -> None:
 
     stage("stage 3/3: dp-sharded batch inference (retrieval ON) — compiling")
     _dryrun_inference(n_devices)
+    cache_n1, cache_bytes = _cache_stats()
+    wall = time.perf_counter() - t_start
+    # cold vs warm is visible from the delta: a warm run writes 0 new
+    # entries (all compiles were persistent-cache hits); the repo commits
+    # the warmed .jax_cache_cpu entries for exactly these HLOs
+    print(f"[dryrun] total wall {wall:.0f}s; compile cache: "
+          f"{cache_n1 - cache_n0} new entries this run "
+          f"({cache_n1} total, {cache_bytes / 1e6:.1f} MB) — "
+          f"{'WARM (all cache hits)' if cache_n1 - cache_n0 == 0 else 'cold/partial'}",
+          flush=True)
     stage("all stages OK")
 
 

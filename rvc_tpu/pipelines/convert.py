@@ -107,6 +107,9 @@ class VoiceConverter:
         # 214.0 ms on the 8x12s synth dispatch) — opt in explicitly
         self.synth = Synthesizer(
             **{**synth_kwargs, "dtype": dtype, "fuse_resblocks": fuse,
+               # stage-group decoder kernel (inference-only: conversion
+               # never differentiates the decoder)
+               "fuse_group": synth_kwargs.get("fuse_group", fuse),
                "fuse_wn": synth_kwargs.get("fuse_wn", False),
                # banded-attention kernel: single-chip only (no partition
                # rules yet); numerically identical to the XLA path

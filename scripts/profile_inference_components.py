@@ -105,7 +105,7 @@ def main():
     pc = preset("48k_v2")
     synth = Synthesizer.from_config(pc.model, pc.data, pc.train.segment_size,
                                     dtype=jnp.bfloat16, fuse_resblocks=True,
-                                    fuse_attention=True)
+                                    fuse_attention=True, fuse_group=True)
     Tf = int(SEC * 100)  # 100 Hz frames
     feat = jnp.asarray(rng.standard_normal((B, Tf, 768)), jnp.float32)
     lens = jnp.full((B,), Tf, jnp.int32)

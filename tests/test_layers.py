@@ -137,3 +137,27 @@ def test_slice_segments(rng):
         np.testing.assert_array_equal(np.asarray(s[b]), np.asarray(x[b, ids[b] : ids[b] + 8]))
     s2 = slice_segments(x, ids, 8)
     np.testing.assert_array_equal(np.asarray(s2), np.asarray(s))
+
+
+@pytest.mark.parametrize("I,O,k,s,p,T", [
+    (1, 512, 10, 5, 0, 2880),   # HuBERT frontend layer 0 geometry
+    (512, 512, 3, 2, 0, 575),   # frontend k=3 layers (odd length)
+    (512, 512, 2, 2, 0, 287),   # frontend k=2 layers (Q·s == k tail crop)
+    (1, 256, 80, 40, 20, 3456), # NSF noise_conv stage-0 geometry
+    (1, 128, 8, 4, 2, 3456),    # NSF noise_conv with padding straddle
+    (3, 16, 7, 3, 2, 1001),     # non-divisible everything
+])
+def test_conv1d_pack_stride_matches_plain(I, O, k, s, p, T, rng):
+    """pack_stride (stride-s conv as a stride-1 superframe matmul) must be
+    numerically identical to the plain strided lowering for every
+    geometry the HuBERT frontend and NSF noise_convs use — including odd
+    lengths where the packed form must crop unused tail samples."""
+    x = jnp.asarray(rng.standard_normal((2, T, I)).astype(np.float32))
+    ref_m = Conv1d(I, O, k, stride=s, padding=p, use_bias=True)
+    params = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = ref_m.apply(params, x)
+    got = Conv1d(I, O, k, stride=s, padding=p, use_bias=True,
+                 pack_stride=True).apply(params, x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)

@@ -224,3 +224,82 @@ def test_fused_sharded_matches_single(rng):
     mesh = make_mesh(8)
     sharded = fused_resblock1_sharded(x, convs, mesh, S=S, interpret=True)
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+
+
+@pytest.mark.parametrize("C,S", [(128, 1), (32, 4)])
+def test_group_matches_unfused_trio(C, S, rng):
+    """fused_resblock_group (one kernel per decoder stage: all three
+    chains + in-VMEM averaging) vs the unfused sum-then-divide
+    (reference models.py:300-311)."""
+    from rvc_tpu.ops.pallas_resblock import fused_resblock_group
+
+    dilation = (1, 3, 5)
+    x = jnp.asarray(rng.standard_normal((2, 600 // S, S * C)).astype(np.float32))
+    chains, refs = [], []
+    for k in (3, 7, 11):
+        rb = ResBlock1(C, k, dilation, s2d=S)
+        params = rb.init(jax.random.PRNGKey(k), x)
+        refs.append(rb.apply(params, x))
+        chains.append(_convs_from_params(params, k, dilation))
+    ref = (refs[0] + refs[1] + refs[2]) / 3
+    got = fused_resblock_group(x, chains, S=S, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_group_short_sequence_and_bf16(rng):
+    """Group kernel edge cases: sequence shorter than a tile (boundary
+    masks dominate) and the bf16 carry (matches unfused to bf16
+    resolution — same tolerance the single-chain kernel is held to)."""
+    from rvc_tpu.ops.pallas_resblock import fused_resblock_group
+
+    C, S = 32, 4
+    dilation = (1, 3, 5)
+    x32 = jnp.asarray(rng.standard_normal((1, 48, S * C)).astype(np.float32))
+    chains, refs = [], []
+    for k in (3, 7, 11):
+        rb = ResBlock1(C, k, dilation, s2d=S)
+        params = rb.init(jax.random.PRNGKey(k), x32)
+        refs.append(rb.apply(params, x32))
+        chains.append(_convs_from_params(params, k, dilation))
+    ref = (refs[0] + refs[1] + refs[2]) / 3
+    got = fused_resblock_group(x32, chains, S=S, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+    xb = x32.astype(jnp.bfloat16)
+    chains_b, refs_b = [], []
+    for k in (3, 7, 11):
+        rb = ResBlock1(C, k, dilation, s2d=S, dtype=jnp.bfloat16)
+        params = rb.init(jax.random.PRNGKey(k), xb)
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+        refs_b.append(rb.apply(params, xb))
+        chains_b.append(_convs_from_params(params, k, dilation))
+    ref_b = (refs_b[0] + refs_b[1] + refs_b[2]) / 3
+    got_b = fused_resblock_group(xb, chains_b, S=S, interpret=True)
+    assert got_b.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_b, np.float32), np.asarray(ref_b, np.float32),
+        atol=0.05, rtol=0.05)
+
+
+def test_group_sharded_matches_single(rng):
+    """fused_resblock_group_sharded under an 8-device dp mesh equals the
+    single-device group kernel (the multi-chip inference layout)."""
+    from rvc_tpu.ops.pallas_resblock import (fused_resblock_group,
+                                             fused_resblock_group_sharded)
+    from rvc_tpu.parallel.mesh import make_mesh
+
+    C, S = 32, 4
+    dilation = (1, 3, 5)
+    x = jnp.asarray(rng.standard_normal((8, 96, S * C)).astype(np.float32))
+    chains = []
+    for k in (3, 7, 11):
+        rb = ResBlock1(C, k, dilation, s2d=S)
+        params = rb.init(jax.random.PRNGKey(k), x)
+        chains.append(_convs_from_params(params, k, dilation))
+    single = fused_resblock_group(x, chains, S=S, interpret=True)
+    mesh = make_mesh(8)
+    sharded = fused_resblock_group_sharded(x, chains, mesh, S=S,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
