@@ -70,7 +70,10 @@ def main():
         except Exception:
             return 0.0
 
-    B, SEC = 4, 18.0
+    # override to match other workloads (e.g. B=8 SEC=12 = the throughput
+    # bench's true chunk shapes: 10 s songs + 2x1 s reflect pad)
+    B = int(os.environ.get("RVC_PROF_B", "4"))
+    SEC = float(os.environ.get("RVC_PROF_SEC", "18.0"))
     T16 = int(SEC * 16000)
     rng = np.random.default_rng(0)
     results = {}
