@@ -196,6 +196,7 @@ def main():
                 sweep[str(n)] = {
                     "agg_rtf_best": detail["throughput_agg_rtf_best"],
                     "dispatch_s": detail.get("throughput_dispatch_s"),
+                    "device_s": detail.get("throughput_device_s"),
                     "mfu_pct": detail.get("mfu_pct_lower_bound"),
                 }
                 continue
@@ -205,14 +206,19 @@ def main():
                 st: dict = {}
                 vc.convert_batch(songs_n, settings=settings, stats=st)  # warm
                 best_wall, best_disp = float("inf"), float("inf")
+                best_dev = float("inf")
                 for _ in range(2):
                     t0 = time.perf_counter()
                     vc.convert_batch(songs_n, settings=settings, stats=st)
                     best_wall = min(best_wall, time.perf_counter() - t0)
                     best_disp = min(best_disp,
                                     st.get("dispatch_s", float("inf")))
+                    best_dev = min(best_dev,
+                                   st.get("device_s", float("inf")))
                 entry = {"agg_rtf_best": round(n * song_s / best_wall, 1),
                          "dispatch_s": round(best_disp, 3)}
+                if best_dev < float("inf"):
+                    entry["device_s"] = round(best_dev, 3)
                 if "flops" in st and on_tpu and best_disp > 0:
                     entry["mfu_pct"] = round(
                         100.0 * st["flops"] / (best_disp * 197e12), 2)
@@ -224,6 +230,32 @@ def main():
         detail["throughput_sweep"] = sweep
         knee = max(sweep, key=lambda k: sweep[k].get("agg_rtf_best") or 0)
         detail["throughput_knee_songs"] = int(knee)
+
+        # Fixed-vs-marginal device time: device_s wraps dispatch +
+        # block_until_ready over the tunnel, so it carries a fixed
+        # per-dispatch constant (RPC round trip + program launch) that no
+        # local deployment pays and that in-jit iteration-differencing
+        # profilers (scripts/profile_inference_components.py) confirm is
+        # not compute: at N=8 the per-component sum is ~206 ms vs ~311 ms
+        # dispatch-inclusive. A least-squares fit of device_s vs N
+        # separates the two; mfu_pct_device_marginal charges the chip only
+        # for time that scales with work. Both numbers are reported —
+        # mfu_pct_device stays the dispatch-inclusive (pessimistic) bound.
+        pts = [(int(k), v["device_s"]) for k, v in sweep.items()
+               if isinstance(v.get("device_s"), (int, float))]
+        if len(pts) >= 3:
+            import numpy as _np
+            ns = _np.array([p[0] for p in pts], _np.float64)
+            ds = _np.array([p[1] for p in pts], _np.float64)
+            A = _np.stack([ns, _np.ones_like(ns)], axis=1)
+            (slope, intercept), *_ = _np.linalg.lstsq(A, ds, rcond=None)
+            detail["device_s_per_song_marginal"] = round(float(slope), 4)
+            detail["device_fixed_overhead_s"] = round(
+                max(float(intercept), 0.0), 3)
+            marg = stats.get("device_s", 0.0) - max(float(intercept), 0.0)
+            if "flops" in stats and on_tpu and marg > 0:
+                detail["mfu_pct_device_marginal"] = round(
+                    100.0 * stats["flops"] / (marg * 197e12), 2)
 
     if degraded:  # loud, and top-level — not buried in detail
         print(f"WARNING: bench sections degraded: {degraded}", file=sys.stderr)
